@@ -1,0 +1,52 @@
+"""Test harness configuration.
+
+Forces the CPU backend with 8 virtual host devices so multi-chip sharding
+paths (mesh + collectives) are exercised without TPU hardware -- the pattern
+recommended for JAX distributed testing.  Must run before jax is imported
+anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_ENABLE_X64"] = "1"
+
+# The container's sitecustomize registers an out-of-process TPU plugin at
+# interpreter start and pins JAX_PLATFORMS=axon; env vars alone are read too
+# early to win.  config.update after import reliably forces the CPU backend
+# (and is a no-op in environments without the plugin).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def grid384():
+    from climsim_tpu.grid import load_default_grid
+
+    return load_default_grid()
+
+
+@pytest.fixture(scope="session")
+def tiny_grid():
+    from climsim_tpu.grid import synthetic_grid
+
+    return synthetic_grid(ncol=16)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
