@@ -1,0 +1,282 @@
+"""1D U-Net over the vertical column -- the coupling-grade online model.
+
+Re-architected (not translated) from the reference's Modulus/EDM-style
+ClimsimUnet (online_testing/baseline_models/Unet_v5/training/
+climsim_unet.py:35-411 and layers.py):
+
+  * input assembly: level-resolved vars as channels, scalars broadcast over
+    levels, learned 8-dim column-location embedding from a (385, 8) table
+    (one-hot matmul in the reference, a gather here -- same function),
+    optional zeroing of the previous-step 2D scalars (prev_2d=False zeroes
+    features [-8:-3], climsim_unet.py:285-287)
+  * 60 levels left-padded to seq_resolution=64; channel_mult [1,2,2,2],
+    num_blocks residual blocks per level, attention at chosen resolutions
+    (attn_resolutions), EDM-style blocks: GN -> silu -> conv3 -> GN -> silu
+    -> dropout -> conv3(zero-init) + 1x1 skip, all scaled by 1/sqrt(2)
+  * identity-initialized 1x1 skip convs between encoder and decoder
+    (trainable iff skip_conv; the reference freezes them at identity
+    otherwise, which equals omitting them -- climsim_unet.py:209-219)
+  * output head: GN -> silu -> zero-init conv3; profile channels flatten to
+    (B, P*60) from the unpadded 60 levels, scalar channels relu + level-mean
+    (climsim_unet.py:377-393)
+  * classifier variant: per-level cloud/no-cloud logits for the v5
+    two-stage scheme (climsim_unet_classifier.py)
+
+TPU design notes: NWC layout (length=lane-friendly 64, channels contract on
+the MXU), bf16 compute / f32 params+accum, static shapes everywhere; the
+whole forward is one XLA fusion chain -- no CUDA-graph capture needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..varspec import NUM_LEVELS, VarSpec, var_len
+
+
+class Conv1d(nn.Module):
+    features: int
+    kernel: int = 3
+    zero_init: bool = False
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.xavier_uniform())
+        y = nn.Conv(self.features, (self.kernel,), padding="SAME",
+                    kernel_init=init, dtype=self.compute_dtype,
+                    param_dtype=jnp.float32)(x)
+        return y.astype(jnp.float32)
+
+
+def _num_groups(c: int, cap: int = 32) -> int:
+    """Largest divisor of c not exceeding cap (GroupNorm constraint)."""
+    for g in range(min(cap, c), 0, -1):
+        if c % g == 0:
+            return g
+    return 1
+
+
+def _down(x):
+    """Box-filter downsample by 2 on the level axis (resample_filter [1,1])."""
+    return 0.5 * (x[:, 0::2, :] + x[:, 1::2, :])
+
+
+def _up(x):
+    """Nearest-neighbor upsample by 2 on the level axis."""
+    return jnp.repeat(x, 2, axis=1)
+
+
+class Attention(nn.Module):
+    """Single-axis self-attention over the (<=64-token) level axis.
+
+    Mirrors AttentionOp (layers.py:291-339): per-head dim 64, qkv from a 1x1
+    conv, scores scaled by 1/sqrt(d).
+    """
+
+    channels: int
+    channels_per_head: int = 64
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, c = x.shape
+        heads = max(c // self.channels_per_head, 1)
+        d = c // heads
+        h = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6,
+                         dtype=jnp.float32, name="norm")(x)
+        qkv = Conv1d(3 * c, 1, compute_dtype=self.compute_dtype,
+                     name="qkv")(h)
+        qkv = qkv.reshape(b, l, 3, heads, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.astype(self.compute_dtype)
+        k = k.astype(self.compute_dtype)
+        v = v.astype(self.compute_dtype)
+        scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                            preferred_element_type=jnp.float32)
+        w = nn.softmax(scores / np.sqrt(d), axis=-1)
+        out = jnp.einsum("bhlm,bmhd->blhd", w.astype(self.compute_dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, l, c)
+        out = Conv1d(c, 1, zero_init=True, name="proj")(out)
+        return (x + out) / np.sqrt(2.0)
+
+
+class UNetBlock(nn.Module):
+    out_channels: int
+    up: bool = False
+    down: bool = False
+    attention: bool = False
+    dropout: float = 0.10
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cin = x.shape[-1]
+        h = nn.GroupNorm(num_groups=_num_groups(cin), epsilon=1e-6,
+                         dtype=jnp.float32, name="norm0")(x)
+        h = nn.silu(h)
+        if self.down:
+            h, x = _down(h), _down(x)
+        elif self.up:
+            h, x = _up(h), _up(x)
+        h = Conv1d(self.out_channels, 3, name="conv0")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-6,
+                         dtype=jnp.float32, name="norm1")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = Conv1d(self.out_channels, 3, zero_init=True, name="conv1")(h)
+        if cin != self.out_channels:
+            x = Conv1d(self.out_channels, 1, name="skip")(x)
+        y = (h + x) / np.sqrt(2.0)
+        if self.attention:
+            y = Attention(self.out_channels,
+                          compute_dtype=self.compute_dtype)(y)
+        return y
+
+
+class IdentityConv(nn.Module):
+    """1x1 conv initialized to identity (the reference's skip_conv_layer,
+    climsim_unet.py:211-218)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        def ident(key, shape, dtype):
+            w = jnp.zeros(shape, dtype)
+            return w.at[0].set(jnp.eye(self.channels, dtype=dtype))
+        return nn.Conv(self.channels, (1,), kernel_init=ident,
+                       param_dtype=jnp.float32)(x)
+
+
+class ClimSimUNet(nn.Module):
+    spec: VarSpec
+    model_channels: int = 128
+    channel_mult: Sequence[int] = (1, 2, 2, 2)
+    num_blocks: int = 4
+    attn_resolutions: Sequence[int] = (8,)
+    dropout: float = 0.0
+    seq_resolution: int = 64
+    loc_embedding: bool = True
+    skip_conv: bool = False
+    prev_2d: bool = False
+    output_prune: bool = False
+    strato_lev_out: int = 15
+    classifier: bool = False
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def _assemble(self, x):
+        """(B, D_in) flat -> (B, 64, C) channelized with loc embedding."""
+        spec = self.spec
+        n_prof = len(spec.input_profile_vars)
+        n_scal = len(spec.input_scalar_vars)
+        has_icol = "icol" in spec.inputs
+        prof = x[:, : n_prof * NUM_LEVELS].reshape(
+            -1, n_prof, NUM_LEVELS).transpose(0, 2, 1)  # (B, 60, P)
+        scal = x[:, n_prof * NUM_LEVELS:]
+        if has_icol:
+            icol = scal[:, -1]
+            scal = scal[:, :-1]
+        if not self.prev_2d and has_icol:
+            # zero the previous-step 2D scalars tm_SOLIN..tm_COSZRS, which sit
+            # at [-8:-3] of the flat input (climsim_unet.py:285-287)
+            mask = np.ones(scal.shape[-1], np.float32)
+            mask[-7:-2] = 0.0
+            scal = scal * jnp.asarray(mask)
+        parts = [prof,
+                 jnp.broadcast_to(scal[:, None, :],
+                                  (x.shape[0], NUM_LEVELS, scal.shape[-1]))]
+        if has_icol:
+            emb = self.param("emb_loc", nn.initializers.normal(1.0),
+                             (385, 8), jnp.float32)
+            idx = (icol if self.loc_embedding
+                   else jnp.zeros_like(icol)).astype(jnp.int32)
+            loc = emb[jnp.clip(idx, 0, 384)]  # (B, 8)
+            parts.append(jnp.broadcast_to(
+                loc[:, None, :], (x.shape[0], NUM_LEVELS, 8)))
+        h = jnp.concatenate(parts, axis=-1)
+        pad = self.seq_resolution - NUM_LEVELS
+        return jnp.pad(h, ((0, 0), (pad, 0), (0, 0)))
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        spec = self.spec
+        mc = self.model_channels
+        h = self._assemble(x)
+
+        kw = dict(dropout=self.dropout, compute_dtype=self.compute_dtype)
+        # --- encoder ------------------------------------------------------
+        skips = []
+        cout = None
+        for level, mult in enumerate(self.channel_mult):
+            res = self.seq_resolution >> level
+            if level == 0:
+                h = Conv1d(mc, 3, name=f"enc{res}_conv")(h)
+            else:
+                h = UNetBlock(h.shape[-1], down=True, **kw,
+                              name=f"enc{res}_down")(h, deterministic)
+            skips.append(h)
+            for idx in range(self.num_blocks):
+                cout = mc * mult
+                h = UNetBlock(cout, attention=res in self.attn_resolutions,
+                              **kw, name=f"enc{res}_block{idx}")(
+                                  h, deterministic)
+                skips.append(h)
+
+        if self.skip_conv:
+            skips = [IdentityConv(s.shape[-1], name=f"skipconv{i}")(s)
+                     for i, s in enumerate(skips)]
+
+        # --- decoder ------------------------------------------------------
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            res = self.seq_resolution >> level
+            if level == len(self.channel_mult) - 1:
+                h = UNetBlock(h.shape[-1], attention=True, **kw,
+                              name=f"dec{res}_in0")(h, deterministic)
+                h = UNetBlock(h.shape[-1], **kw,
+                              name=f"dec{res}_in1")(h, deterministic)
+            else:
+                h = UNetBlock(h.shape[-1], up=True, **kw,
+                              name=f"dec{res}_up")(h, deterministic)
+            for idx in range(self.num_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                attn = (idx == self.num_blocks
+                        and res in self.attn_resolutions)
+                h = UNetBlock(mc * mult, attention=attn, **kw,
+                              name=f"dec{res}_block{idx}")(h, deterministic)
+
+        # --- output head --------------------------------------------------
+        n_prof_out = (1 if self.classifier
+                      else len(spec.output_profile_vars))
+        n_scal_out = 0 if self.classifier else len(spec.output_scalar_vars)
+        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-6,
+                         dtype=jnp.float32, name="out_norm")(h)
+        h = Conv1d(n_prof_out + n_scal_out, 3, zero_init=True,
+                   name="out_conv")(nn.silu(h))
+        pad = self.seq_resolution - NUM_LEVELS
+        h = h[:, pad:, :]  # (B, 60, C_out)
+
+        if self.classifier:
+            return h[:, :, 0]  # (B, 60) per-level logits
+
+        y_prof = h[:, :, :n_prof_out].transpose(0, 2, 1).reshape(
+            -1, n_prof_out * NUM_LEVELS)
+        y_scal = nn.relu(h[:, :, n_prof_out:]).mean(axis=1)
+        y = jnp.concatenate([y_prof, y_scal], axis=-1)
+
+        if self.output_prune:
+            mask = np.ones(spec.output_len, np.float32)
+            for v in spec.output_profile_vars:
+                if v == "ptend_t":
+                    continue
+                s = spec.output_slices[v].start
+                mask[s:s + self.strato_lev_out] = 0.0
+            y = y * jnp.asarray(mask)
+        return y

@@ -1,0 +1,96 @@
+"""Device mesh construction and collective helpers.
+
+The reference's distribution layer is torch DDP over NCCL
+(train_unet_h5loader.py:34-35,194-206).  The TPU-native replacement is a
+``jax.sharding.Mesh`` + sharding specs: XLA compiles the gradient psum onto
+ICI within a slice (and DCN across slices) -- no transport code of our own.
+
+Axis conventions:
+  * ``data``   -- batch (columns) sharding; the axis that actually scales
+                  for this workload (SURVEY.md section 5.7)
+  * ``model``  -- reserved for tensor-parallel sharding of wide layers and
+                  the RPN ensemble-member axis
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def distributed_init_if_needed() -> None:
+    """Initialize multi-host JAX when launched under a cluster scheduler.
+
+    Replaces torch.distributed/NCCL init (DistributedManager.initialize in
+    the reference).  Safe to call unconditionally: no-ops in single-process
+    runs without coordinator env vars.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(num_data: int | None = None, num_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Default: all devices on the data axis -- the pure-DP layout every
+    reference model uses.  ``num_model > 1`` carves an inner model axis
+    (kept innermost so model collectives ride the fastest ICI links).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if num_data is None:
+        num_data = n // num_model
+    if num_data * num_model != n:
+        raise ValueError(
+            f"mesh {num_data}x{num_model} != {n} devices")
+    return Mesh(devices.reshape(num_data, num_model),
+                axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+@dataclass(frozen=True)
+class ShardingRules:
+    """Canonical shardings for the training step."""
+
+    mesh: Mesh
+
+    @property
+    def batch(self) -> NamedSharding:
+        """Activations: batch dim over data axis, features replicated."""
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def ensemble(self) -> NamedSharding:
+        """Leading ensemble-member dim over the model axis (RPN)."""
+        return NamedSharding(self.mesh, P(MODEL_AXIS))
+
+    def params(self, tree):
+        """Replicate a parameter pytree across the mesh."""
+        return jax.device_put(tree, self.replicated)
+
+    def shard_batch(self, *arrays):
+        out = tuple(jax.device_put(a, self.batch) for a in arrays)
+        return out[0] if len(out) == 1 else out
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int):
+    """Pad the batch dim up to a multiple (for even sharding); returns
+    (padded, real_count)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np.repeat(x[-1:], rem, axis=0)
+    return np.concatenate([x, pad], axis=0), n

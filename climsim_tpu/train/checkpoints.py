@@ -1,0 +1,88 @@
+"""Checkpointing: top-K retention keyed by validation metric + resume.
+
+Replaces the reference's Modulus .mdlus top-K dance (train_unet_h5loader.py:
+296-307,473-500) and the Keras best/last ModelCheckpoint pair
+(step2_retrain.py:253-263) with one small manager over flax-serialized
+pytrees (msgpack).  Works for any params/opt-state pytree, sharded arrays
+included (they are gathered to host on save).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(path: str, tree) -> None:
+    tree = jax.tree.map(np.asarray, tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load_pytree(path: str, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+@dataclass
+class TopKCheckpointer:
+    directory: str
+    k: int = 5
+    mode: str = "min"  # min for losses, max for R2
+    _entries: list = field(default_factory=list)  # [(metric, step, path)]
+
+    def __post_init__(self):
+        os.makedirs(self.directory, exist_ok=True)
+        meta = os.path.join(self.directory, "topk.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                self._entries = [tuple(e) for e in json.load(f)]
+
+    def _better(self, a, b):
+        return a < b if self.mode == "min" else a > b
+
+    def maybe_save(self, metric: float, step: int, tree) -> bool:
+        """Insert if within top-K; deletes the evicted worst (reference
+        behavior: train_unet_h5loader.py:473-500)."""
+        metric = float(metric)
+        if len(self._entries) >= self.k:
+            worst = max(self._entries, key=lambda e: e[0]) if \
+                self.mode == "min" else min(self._entries, key=lambda e: e[0])
+            if not self._better(metric, worst[0]):
+                return False
+            self._entries.remove(worst)
+            if os.path.exists(worst[2]):
+                os.remove(worst[2])
+        path = os.path.join(self.directory, f"ckpt_step{step}.msgpack")
+        save_pytree(path, tree)
+        self._entries.append((metric, step, path))
+        self._flush()
+        return True
+
+    def save_last(self, step: int, tree) -> str:
+        """Always-updated resume checkpoint (warm restart path,
+        train_unet_h5loader.py:177-189)."""
+        path = os.path.join(self.directory, "last.msgpack")
+        save_pytree(path, tree)
+        with open(os.path.join(self.directory, "last.json"), "w") as f:
+            json.dump({"step": step}, f)
+        return path
+
+    def best(self):
+        if not self._entries:
+            return None
+        key = (min if self.mode == "min" else max)
+        return key(self._entries, key=lambda e: e[0])
+
+    def load_best(self, template):
+        b = self.best()
+        return None if b is None else load_pytree(b[2], template)
+
+    def _flush(self):
+        with open(os.path.join(self.directory, "topk.json"), "w") as f:
+            json.dump(self._entries, f)

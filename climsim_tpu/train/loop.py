@@ -1,0 +1,132 @@
+"""Epoch-driven training loop.
+
+Host-side orchestration around the jitted step: epoch iteration, validation,
+all-reduced val loss (free under pjit -- metrics come back replicated),
+plateau LR control, top-K checkpointing, CSV-style history logging.
+Replaces train_unet_h5loader.py:355-508 and the Keras callback stack.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .checkpoints import TopKCheckpointer
+from .step import TrainState
+
+
+@dataclass
+class PlateauController:
+    """ReduceLROnPlateau: scale lr_scale by `factor` after `patience` epochs
+    without val improvement (torch scheduler family used by online configs)."""
+
+    patience: int = 3
+    factor: float = 0.5
+    min_scale: float = 1e-3
+    best: float = np.inf
+    bad_epochs: int = 0
+    scale: float = 1.0
+
+    def update(self, val_loss: float) -> float:
+        if val_loss < self.best - 1e-12:
+            self.best = val_loss
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs >= self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad_epochs = 0
+        return self.scale
+
+
+@dataclass
+class EarlyStopping:
+    """Keras-style early stopping (step2_retrain.py:258-261, patience 8)."""
+
+    patience: int = 8
+    best: float = np.inf
+    bad_epochs: int = 0
+
+    def should_stop(self, val_loss: float) -> bool:
+        if val_loss < self.best - 1e-12:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+@dataclass
+class History:
+    rows: list = field(default_factory=list)
+
+    def log(self, **kw):
+        self.rows.append(kw)
+
+    def save_csv(self, path: str):
+        if not self.rows:
+            return
+        keys = list(self.rows[0])
+        with open(path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for r in self.rows:
+                f.write(",".join(str(r.get(k, "")) for k in keys) + "\n")
+
+
+def run_epoch(train_step, state: TrainState, loader, log_every: int = 0,
+              callback=None):
+    """One epoch; returns (state, mean_loss, samples_per_sec)."""
+    losses = []
+    n_samples = 0
+    t0 = time.perf_counter()
+    for i, (xb, yb) in enumerate(loader):
+        state, metrics = train_step(state, xb, yb)
+        losses.append(metrics["loss"])
+        n_samples += xb.shape[0]
+        if log_every and (i + 1) % log_every == 0 and callback:
+            callback(i, float(jax.device_get(metrics["loss"])))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    mean_loss = float(np.mean([float(jax.device_get(x)) for x in losses]))
+    return state, mean_loss, n_samples / max(dt, 1e-9)
+
+
+def evaluate(eval_step, params, loader):
+    losses, weights = [], []
+    for xb, yb in loader:
+        m = eval_step(params, xb, yb)
+        losses.append(float(jax.device_get(m["loss"])))
+        weights.append(xb.shape[0])
+    return float(np.average(losses, weights=weights)) if losses else np.nan
+
+
+def fit(train_step, eval_step, state: TrainState, train_loader, val_loader,
+        epochs: int, ckpt: TopKCheckpointer | None = None,
+        plateau: PlateauController | None = None,
+        early: EarlyStopping | None = None, verbose: bool = True,
+        history: History | None = None):
+    """Generic fit covering the reference trainers' control flow."""
+    history = history if history is not None else History()
+    for epoch in range(epochs):
+        state, train_loss, sps = run_epoch(train_step, state, train_loader)
+        val_loss = (evaluate(eval_step, state.params, val_loader)
+                    if val_loader is not None else np.nan)
+        if plateau is not None and np.isfinite(val_loss):
+            scale = plateau.update(val_loss)
+            state = state.replace(
+                lr_scale=jax.numpy.asarray(scale, jax.numpy.float32))
+        if ckpt is not None and np.isfinite(val_loss):
+            ckpt.maybe_save(val_loss, int(state.step), state.params)
+            ckpt.save_last(int(state.step), state.params)
+        history.log(epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+                    samples_per_sec=sps)
+        if verbose:
+            print(f"epoch {epoch}: train {train_loss:.5f} "
+                  f"val {val_loss:.5f} ({sps:,.0f} samples/s)")
+        if early is not None and np.isfinite(val_loss) and \
+                early.should_stop(val_loss):
+            break
+    return state, history
