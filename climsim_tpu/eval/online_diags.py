@@ -1,0 +1,80 @@
+"""Online (coupled-run) diagnostics.
+
+Reproduces the metrics of online_testing/evaluation/*.ipynb over rollout
+trajectories from the hybrid driver (or real model output):
+  * time-mean RMSE of prognostic fields vs a reference run, mass (dp/g) and
+    area weighted (monthly-online-rmse-visualization.ipynb cells 5-7)
+  * zonal-mean bias maps (lat x level)
+  * error growth curve within a window (error-growth notebook)
+  * precipitation statistics (mean/p99 of PRECC)
+
+All functions take (T, B, L) or (T, B) arrays; float64 numpy for scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..grid import Grid
+
+
+def _weights(grid: Grid, ps: np.ndarray | float = 1.0e5):
+    """(B, L) mass weights dp/g times normalized area (B, 1)."""
+    ps = np.asarray(ps)
+    if ps.ndim == 0:
+        ps = np.full(grid.ncol, float(ps))
+    p = grid.p0 * grid.hyai[None, :] + grid.hybi[None, :] * ps[:, None]
+    dp = (p[:, 1:] - p[:, :-1]) / 9.80616
+    return dp * grid.area_wgt[:, None]
+
+
+def weighted_rmse(traj: np.ndarray, ref: np.ndarray, grid: Grid,
+                  ps=1.0e5) -> float:
+    """Mass+area weighted global RMSE over a trajectory window.
+
+    traj/ref: (T, B, L) level-resolved or (T, B) scalar fields.
+    """
+    err2 = (traj - ref) ** 2
+    if err2.ndim == 3:
+        w = _weights(grid, ps)[None, :, :]
+        return float(np.sqrt((err2 * w).sum() / (w.sum() * err2.shape[0])))
+    w = grid.area_wgt[None, :]
+    return float(np.sqrt((err2 * w).sum() / (w.sum() * err2.shape[0])))
+
+
+def zonal_mean_bias(traj: np.ndarray, ref: np.ndarray, grid: Grid):
+    """(lat, L) time-and-longitude mean bias, sorted by latitude."""
+    bias = (traj - ref).mean(axis=0)  # (B, L)
+    lats = grid.unique_lats
+    out = np.stack([bias[idx].mean(axis=0) for idx in grid.lat_indices()])
+    return lats, out
+
+
+def error_growth(traj: np.ndarray, ref: np.ndarray, grid: Grid, ps=1.0e5):
+    """Per-step weighted RMSE curve (T,) -- the 1-month error growth plot."""
+    return np.array([
+        weighted_rmse(traj[t:t + 1], ref[t:t + 1], grid, ps)
+        for t in range(traj.shape[0])])
+
+
+def precip_stats(precc: np.ndarray, grid: Grid) -> dict:
+    """Mean and extreme precipitation rates, area-weighted (precipitation
+    statistics notebook)."""
+    w = grid.area_wgt[None, :] / grid.area_wgt.sum()
+    return {
+        "mean": float((precc * w).sum() / precc.shape[0]),
+        "p99": float(np.quantile(precc, 0.99)),
+        "max": float(precc.max()),
+        "frac_negative": float((precc < 0).mean()),
+    }
+
+
+def drift(traj: np.ndarray, grid: Grid, ps=1.0e5) -> float:
+    """Weighted global-mean drift between the first and last quarter of a
+    rollout -- the cheap stability indicator for coupled runs."""
+    t = traj.shape[0]
+    q = max(t // 4, 1)
+    w = _weights(grid, ps) if traj.ndim == 3 else grid.area_wgt[:, None]
+    a = (traj[:q] * w).sum() / (w.sum() * q)
+    b = (traj[-q:] * w).sum() / (w.sum() * q)
+    return float(b - a)

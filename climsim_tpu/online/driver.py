@@ -1,0 +1,176 @@
+"""Hybrid-loop harness: step host columns with emulator tendencies.
+
+The real consumer of the exported wrapper is the E3SM-MMF host model (an
+external Fortran/C++ repo; online_testing/README.md section 5).  This module
+reproduces the *loop contract* on-device so coupled behavior -- stability,
+drift, conservation -- can be tested and benchmarked without E3SM:
+
+  every dt=1200 s:  raw column state -> wrapper -> (B, 368) tendencies
+                    -> state += tendency * dt -> derived features refresh
+                    (RH, liq_partition, prvphy <- this step's physics,
+                    tm_* <- previous step, dyn forcing from a prescribed
+                    host-dynamics function)
+
+The whole rollout is one ``lax.scan`` -- the multi-step loop compiles into
+a single XLA program, the honest TPU analog of the host model's time loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import physics
+from ..grid import Grid
+from ..varspec import get_varspec
+
+
+@dataclass(frozen=True)
+class ColumnState:
+    """Raw per-column prognostic + memory state for the v4 feature set."""
+
+    t: jnp.ndarray       # (B, 60) K
+    q1: jnp.ndarray      # (B, 60) specific humidity
+    qc: jnp.ndarray      # (B, 60) cloud liquid
+    qi: jnp.ndarray      # (B, 60) cloud ice
+    u: jnp.ndarray       # (B, 60)
+    v: jnp.ndarray       # (B, 60)
+    scalars: jnp.ndarray  # (B, S) static surface scalars in v4 tail order
+    prvphy: jnp.ndarray   # (B, 5, 60) previous physics tendencies (t,q1,q2,q3,u)
+    tm_prvphy: jnp.ndarray  # (B, 5, 60) the step before
+    dyn: jnp.ndarray     # (B, 3, 60) current dynamics forcing (t, q0, u)
+    tm_dyn: jnp.ndarray  # (B, 3, 60) previous dynamics forcing
+
+
+def initial_state(x_v4_raw: np.ndarray) -> ColumnState:
+    """Build a ColumnState from a raw v4 feature batch (e.g. synthetic)."""
+    spec = get_varspec("v4")
+    sl = spec.input_slices
+    j = jnp.asarray
+    prof = lambda n: j(x_v4_raw[:, sl[n]])
+    scal_names = [v for v in spec.inputs if spec.input_slices[v].stop -
+                  spec.input_slices[v].start == 1]
+    scalars = j(np.concatenate(
+        [x_v4_raw[:, sl[n]] for n in scal_names], axis=1))
+    stack = lambda names: jnp.stack([prof(n) for n in names], axis=1)
+    return ColumnState(
+        t=prof("state_t"), q1=physics_q1_from_rh(x_v4_raw, spec),
+        qc=prof("state_q0002"), qi=prof("state_q0003"),
+        u=prof("state_u"), v=prof("state_v"),
+        scalars=scalars,
+        prvphy=stack(["state_t_prvphy", "state_q0001_prvphy",
+                      "state_q0002_prvphy", "state_q0003_prvphy",
+                      "state_u_prvphy"]),
+        tm_prvphy=stack(["tm_state_t_prvphy", "tm_state_q0001_prvphy",
+                         "tm_state_q0002_prvphy", "tm_state_q0003_prvphy",
+                         "tm_state_u_prvphy"]),
+        dyn=stack(["state_t_dyn", "state_q0_dyn", "state_u_dyn"]),
+        tm_dyn=stack(["tm_state_t_dyn", "tm_state_q0_dyn",
+                      "tm_state_u_dyn"]),
+    )
+
+
+def physics_q1_from_rh(x_v4_raw, spec):
+    """v4 carries RH, not q1; recover q1 = rh * qsat(t, pmid~ps-scaled)."""
+    sl = spec.input_slices
+    t = jnp.asarray(x_v4_raw[:, sl["state_t"]])
+    rh = jnp.asarray(x_v4_raw[:, sl["state_rh"]])
+    ps = jnp.asarray(x_v4_raw[:, sl["state_ps"].start])
+    # mid-level pressure from a nominal sigma profile (driver-internal)
+    sigma = (jnp.arange(60) + 0.5) / 60.0
+    pmid = 20.0 + (ps[:, None] - 20.0) * sigma[None, :] ** 1.5
+    qvs = (physics.RD * physics.saturation_pressure(t)) / (physics.RV * pmid)
+    return rh * qvs
+
+
+class HybridDriver:
+    """Rollout engine around a wrapper fn(params, x_v4_raw) -> (B, 368)."""
+
+    def __init__(self, wrapper: Callable, grid: Grid,
+                 dyn_forcing: Callable | None = None,
+                 dt: float = physics.DT_TIMESTEP):
+        self.wrapper = wrapper
+        self.grid = grid
+        self.dt = dt
+        self.dyn_forcing = dyn_forcing or (lambda state, step: (
+            jnp.zeros_like(state.dyn)))
+        spec = get_varspec("v4")
+        self._sl = spec.output_slices  # 368-contract slices (v2 layout)
+        self._spec = spec
+
+    # -- feature assembly --------------------------------------------------
+    def assemble_v4(self, s: ColumnState) -> jnp.ndarray:
+        sigma = (jnp.arange(60) + 0.5) / 60.0
+        ps = s.scalars[:, 0]  # state_ps is the first scalar in the v4 tail
+        pmid = 20.0 + (ps[:, None] - 20.0) * sigma[None, :] ** 1.5
+        rh = physics.relative_humidity(s.t, s.q1, pmid)
+        profs = [s.t, rh, s.qc, s.qi, s.u, s.v,
+                 s.dyn[:, 0], s.dyn[:, 1], s.dyn[:, 2],
+                 s.tm_dyn[:, 0], s.tm_dyn[:, 1], s.tm_dyn[:, 2],
+                 s.prvphy[:, 0], s.prvphy[:, 1], s.prvphy[:, 2],
+                 s.prvphy[:, 3], s.prvphy[:, 4],
+                 s.tm_prvphy[:, 0], s.tm_prvphy[:, 1], s.tm_prvphy[:, 2],
+                 s.tm_prvphy[:, 3], s.tm_prvphy[:, 4]]
+        # trace-gas profiles held fixed at climatology (zero anomaly drive)
+        b = s.t.shape[0]
+        gases = jnp.broadcast_to(
+            jnp.stack([1e-6 * (1.2 - sigma) ** 2,
+                       jnp.full((60,), 1e-6),
+                       jnp.full((60,), 1e-6)]), (b, 3, 60))
+        profs += [gases[:, 0], gases[:, 1], gases[:, 2]]
+        return jnp.concatenate(
+            [jnp.concatenate([p.reshape(b, 60) for p in profs], axis=1),
+             s.scalars], axis=1)
+
+    # -- one hybrid step ---------------------------------------------------
+    def step(self, params, s: ColumnState, step_idx) -> tuple:
+        x = self.assemble_v4(s)
+        tend = self.wrapper(params, x)  # (B, 368) raw
+        sl = self._sl
+        dt_t = tend[:, sl["ptend_t"]]
+        dt_q1 = tend[:, sl["ptend_q0001"]]
+        dt_qc = tend[:, sl["ptend_q0002"]]
+        dt_qi = tend[:, sl["ptend_q0003"]]
+        dt_u = tend[:, sl["ptend_u"]]
+        dt_v = tend[:, sl["ptend_v"]]
+
+        new_dyn = self.dyn_forcing(s, step_idx)
+        new = ColumnState(
+            t=s.t + (dt_t + new_dyn[:, 0]) * self.dt,
+            q1=jnp.maximum(s.q1 + (dt_q1 + new_dyn[:, 1]) * self.dt, 0.0),
+            qc=jnp.maximum(s.qc + dt_qc * self.dt, 0.0),
+            qi=jnp.maximum(s.qi + dt_qi * self.dt, 0.0),
+            u=s.u + (dt_u + new_dyn[:, 2]) * self.dt,
+            v=s.v + dt_v * self.dt,
+            scalars=s.scalars,
+            prvphy=jnp.stack([dt_t, dt_q1, dt_qc, dt_qi, dt_u], axis=1),
+            tm_prvphy=s.prvphy,
+            dyn=new_dyn,
+            tm_dyn=s.dyn,
+        )
+        return new, tend
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def rollout(self, params, state0: ColumnState, n_steps: int):
+        """lax.scan rollout; returns (final_state, trajectory dict)."""
+
+        def body(carry, step_idx):
+            new, tend = self.step(params, carry, step_idx)
+            return new, {"t": new.t, "q1": new.q1,
+                         "qn": new.qc + new.qi, "u": new.u,
+                         "precc": tend[:, self._sl["cam_out_PRECC"].start]}
+
+        final, traj = jax.lax.scan(body, state0, jnp.arange(n_steps))
+        return final, traj
+
+
+jax.tree_util.register_dataclass(
+    ColumnState,
+    data_fields=["t", "q1", "qc", "qi", "u", "v", "scalars", "prvphy",
+                 "tm_prvphy", "dyn", "tm_dyn"],
+    meta_fields=[])

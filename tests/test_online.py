@@ -1,0 +1,157 @@
+"""Online coupling layer: wrapper parity, conservation, rollout, export."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climsim_tpu.grid import load_default_grid
+from climsim_tpu.norms import load_asset_norms
+from climsim_tpu.online import wrapper as W
+from climsim_tpu.varspec import get_varspec
+
+SPEC4 = get_varspec("v4")
+SPEC5 = get_varspec("v5")
+GRID = load_default_grid()
+STATS5 = load_asset_norms("v5")
+
+
+def raw_v4_batch(n=8, seed=0):
+    from climsim_tpu.data.synthetic import synthetic_inputs
+
+    return synthetic_inputs(SPEC4, n, GRID, seed)
+
+
+def test_v4_to_v5_conversion_golden():
+    """jax conversion vs an independent numpy re-derivation."""
+    x = raw_v4_batch(4).astype(np.float64)
+    got = np.asarray(W.convert_v4_to_v5(jnp.asarray(x)))
+
+    want = np.zeros((4, 1405))
+    want[:, 0:120] = x[:, 0:120]
+    want[:, 120:180] = x[:, 120:180] + x[:, 180:240]
+    want[:, 180:240] = np.clip((x[:, 0:60] - 253.16) / 20.0, 0, 1)
+    want[:, 240:840] = x[:, 240:840]
+    want[:, 840:900] = x[:, 840:900] + x[:, 900:960]
+    want[:, 900:1080] = x[:, 960:1140]
+    want[:, 1080:1140] = x[:, 1140:1200] + x[:, 1200:1260]
+    want[:, 1140:1405] = x[:, 1260:1525]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    """A tiny v5 OnlineMLP with randomized output head (nonzero preds)."""
+    from climsim_tpu.models import OnlineMLP
+
+    model = OnlineMLP(spec=SPEC5, hidden=(32,))
+    x0 = jnp.zeros((2, SPEC5.input_len))
+    params = model.init(jax.random.PRNGKey(0), x0)
+
+    def apply(p, x):
+        return model.apply(p, x)
+
+    return apply, params
+
+
+def test_wrapper_contract_and_conservation(tiny_model):
+    apply, params = tiny_model
+    wrap = W.make_wrapper(apply, STATS5, W.WrapperConfig(input_version="v4"))
+    x = jnp.asarray(raw_v4_batch(8))
+    out = np.asarray(jax.jit(wrap)(params, x))
+    assert out.shape == (8, 368)
+    assert np.isfinite(out).all()
+
+    # cloud repartition conserves total water tendency: dqc + dqi must equal
+    # the (unscaled, pruned) qn tendency the model emitted
+    spec5 = SPEC5
+    from climsim_tpu.data import transforms as T
+
+    tcfg = T.TransformConfig(qn_transform=True, qinput_prune=True,
+                             strato_lev=15, input_clip=True,
+                             input_clip_rhonly=True)
+    in_t = T.make_input_transform(spec5, STATS5, tcfg)
+    x5 = W.convert_v4_to_v5(x)
+    y = np.asarray(apply(params, in_t(x5)))
+    mask = np.ones(spec5.output_len, np.float32)
+    for v in ("ptend_q0001", "ptend_qn", "ptend_u", "ptend_v"):
+        s = spec5.output_slices[v].start
+        mask[s:s + 15] = 0.0
+    y = y * mask / STATS5.out_scale
+    dqn = y[:, spec5.output_slices["ptend_qn"]]
+    np.testing.assert_allclose(out[:, 120:180] + out[:, 180:240], dqn,
+                               rtol=1e-4, atol=1e-12)
+    # dT passthrough
+    np.testing.assert_allclose(out[:, 0:60],
+                               y[:, spec5.output_slices["ptend_t"]],
+                               rtol=1e-5, atol=1e-12)
+
+
+def test_wrapper_repartition_physics(tiny_model):
+    """With a zero-tendency model, the wrapper still re-partitions existing
+    cloud water by temperature: warm columns melt all their ice
+    (dqi = -qi/dt, dqc = +qi/dt), exactly as apply_temperature_rules does."""
+    apply, params = tiny_model
+    zero_params = jax.tree.map(jnp.zeros_like, params)
+    wrap = W.make_wrapper(apply, STATS5)
+    x = raw_v4_batch(4)
+    x[:, 0:60] = 300.0          # warm everywhere
+    x[:, 120:180] = 1e-5        # some liquid
+    x[:, 180:240] = 2e-5        # some ice to melt
+    out = np.asarray(wrap(zero_params, jnp.asarray(x)))
+    np.testing.assert_allclose(out[:, 180:240], -x[:, 180:240] / 1200.0,
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(out[:, 120:180], x[:, 180:240] / 1200.0,
+                               rtol=1e-5, atol=1e-12)
+    # everything else zero
+    np.testing.assert_allclose(out[:, 0:120], 0.0, atol=1e-12)
+
+
+def test_aot_export_roundtrip(tiny_model, tmp_path):
+    apply, params = tiny_model
+    wrap = W.make_wrapper(apply, STATS5)
+    x = jnp.asarray(raw_v4_batch(4))
+    want = np.asarray(wrap(params, x))
+    path = str(tmp_path / "wrapper.stablehlo")
+    W.export_aot(wrap, params, 4, SPEC4.input_len, path)
+    fn = W.load_aot(path)
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_hybrid_rollout(tiny_model):
+    from climsim_tpu.online.driver import HybridDriver, initial_state
+
+    apply, params = tiny_model
+    wrap = W.make_wrapper(apply, STATS5)
+    driver = HybridDriver(wrap, GRID)
+    x0 = raw_v4_batch(16, seed=3)
+    # anchor ps to something physical (first scalar of the tail)
+    state0 = initial_state(x0)
+    final, traj = driver.rollout(params, state0, 5)
+    assert traj["t"].shape == (5, 16, 60)
+    assert np.isfinite(np.asarray(traj["t"])).all()
+    assert np.isfinite(np.asarray(traj["qn"])).all()
+    # non-negative moisture enforced by the driver
+    assert float(jnp.min(traj["q1"])) >= 0.0
+    # prvphy memory updated: tm_prvphy of final == prvphy after step n-1
+    assert np.isfinite(np.asarray(final.prvphy)).all()
+
+
+def test_online_diagnostics():
+    from climsim_tpu.eval import online_diags as D
+
+    rng = np.random.default_rng(0)
+    t_steps, b, l = 8, GRID.ncol, 60
+    ref = rng.normal(size=(t_steps, b, l))
+    traj = ref + 0.1 * rng.normal(size=ref.shape)
+    r = D.weighted_rmse(traj, ref, GRID)
+    assert 0.05 < r < 0.2
+    lats, bias = D.zonal_mean_bias(traj, ref, GRID)
+    assert bias.shape == (len(lats), l)
+    growth = D.error_growth(traj, ref, GRID)
+    assert growth.shape == (t_steps,)
+    stats = D.precip_stats(np.abs(rng.normal(size=(t_steps, b))), GRID)
+    assert stats["mean"] > 0
+    d = D.drift(traj, GRID)
+    assert np.isfinite(d)
