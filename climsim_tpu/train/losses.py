@@ -43,7 +43,7 @@ def mae(pred, target, weight=None):
     return jnp.mean(e * weight if weight is not None else e)
 
 
-def huber(pred, target, delta: float = 1.0, weight=None):
+def huber(pred, target, weight=None, delta: float = 1.0):
     err = pred - target
     a = jnp.abs(err)
     e = jnp.where(a <= delta, 0.5 * err**2, delta * (a - 0.5 * delta))

@@ -262,3 +262,66 @@ def cvae_trainer(spec, stats, sample_batch, rng, rules=None, latent=8,
                    eval_step=make_eval_step(loss_fn, rules),
                    predict=make_predict_fn(apply_norm, rules),
                    sample=sample, input_transform=in_t)
+
+
+def unet_trainer(spec, stats, sample_batch, rng, rules=None,
+                 steps_per_epoch=1000, cfg=None, model_kw=None,
+                 loss_kind="huber", block_weights=None, energy_weight=0.0,
+                 grid=None, lr=1e-3, schedule_name="cosine",
+                 total_epochs=30, **kw):
+    """Coupling-grade U-Net recipe (Unet_v4/v5 trainer semantics:
+    train_unet_h5loader.py:209-268 -- Adam, {mse|mae|huber} with optional
+    per-block weights and energy penalty, cosine/step/plateau schedules)."""
+    from ..models.unet import ClimSimUNet
+
+    model = ClimSimUNet(spec=spec, **(model_kw or {}))
+    cfg = cfg or (T.v5_online_config() if spec.name == "v5"
+                  else T.TransformConfig())
+    sched = schedules.build(schedule_name, steps_per_epoch, init_lr=lr,
+                            decay_epochs=total_epochs)
+    return _common(model, spec, stats, cfg, rules, rng, sample_batch,
+                   loss_kind=loss_kind, block_weights=block_weights,
+                   schedule=sched, energy_weight=energy_weight, grid=grid,
+                   deterministic_loss=(model.dropout == 0.0), **kw)
+
+
+def unet_classifier_trainer(spec, stats, sample_batch, rng, rules=None,
+                            steps_per_epoch=1000, cfg=None, model_kw=None,
+                            lr=1e-3, cloud_threshold=1e-7, **kw):
+    """Cloud/no-cloud per-level classifier for the v5 two-stage scheme
+    (climsim_unet_classifier.py + train_unet_h5loader_classifier.py):
+    sigmoid-BCE against (|qn tendency| target > threshold) labels."""
+    from ..models.unet import ClimSimUNet
+
+    model = ClimSimUNet(spec=spec, classifier=True, **(model_kw or {}))
+    cfg = cfg or T.v5_online_config()
+    in_t = T.make_input_transform(spec, stats, cfg)
+    sl_qn = spec.output_slices["ptend_qn"]
+
+    def loss_fn(params, rng_, xb, yb):
+        x = in_t(xb)
+        labels = (jnp.abs(yb[:, sl_qn]) > cloud_threshold).astype(
+            jnp.float32)
+        kw_ = {}
+        if rng_ is not None and model.dropout > 0:
+            kw_ = dict(deterministic=False, rngs={"dropout": rng_})
+        logits = model.apply(params, x, **kw_)
+        bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+        acc = jnp.mean((logits > 0) == (labels > 0.5))
+        return jnp.mean(bce), {"accuracy": acc}
+
+    params = model.init(rng, in_t(sample_batch[0][:2]))
+    if rules is not None:
+        params = rules.params(params)
+    opt = _optimizer(schedules.constant(lr))
+    state = create_train_state(params, opt, jax.random.fold_in(rng, 1),
+                               rules)
+
+    def apply_prob(params_, x_raw):
+        return jax.nn.sigmoid(model.apply(params_, in_t(x_raw)))
+
+    return Trainer(model=model, state=state,
+                   train_step=make_train_step(loss_fn, opt, rules),
+                   eval_step=make_eval_step(loss_fn, rules),
+                   predict=make_predict_fn(apply_prob, rules),
+                   input_transform=in_t)
