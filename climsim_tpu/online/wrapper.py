@@ -172,3 +172,29 @@ def load_aot(path_or_blob):
             blob = f.read()
     exported = jexport.deserialize(blob)
     return exported.call
+
+
+def make_fast_mlp_wrapper(model, params, stats: NormStats,
+                          spec: VarSpec | None = None,
+                          weights_dtype=jnp.bfloat16) -> Callable:
+    """Latency-optimized v2_rh wrapper using the Pallas fused-MLP kernel:
+    the whole network runs in one kernel launch with weights resident in
+    VMEM (scripts/bench_kernels.py: ~1.4x faster than the XLA path at the
+    coupling batch size of 384 columns).  Weights are captured at build
+    time; returns fn(x_raw) -> (B, 368)."""
+    from ..ops.kernels import fused_mlp_forward, mlp_params_to_matrices
+
+    spec = spec or get_varspec("v2_rh")
+    in_t = T.make_input_transform(spec, stats, T.TransformConfig(
+        input_clip=True, input_clip_rhonly=True))
+    ws, bs = mlp_params_to_matrices(params)
+    ws = [w.astype(weights_dtype) for w in ws]
+    n_relu = len(spec.output_scalar_vars)
+    out_scale_inv = jnp.asarray(1.0 / stats.out_scale, jnp.float32)
+
+    def wrapper(x_raw):
+        y = fused_mlp_forward(in_t(x_raw.astype(jnp.float32)), ws, bs,
+                              relu_tail=n_relu)
+        return y * out_scale_inv
+
+    return wrapper

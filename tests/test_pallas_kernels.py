@@ -1,0 +1,120 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on
+CPU; the same kernels compile for TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climsim_tpu.data import transforms as T
+from climsim_tpu.norms import load_asset_norms
+from climsim_tpu.ops import kernels as K
+from climsim_tpu.varspec import get_varspec
+
+SPEC5 = get_varspec("v5")
+STATS5 = load_asset_norms("v5")
+
+
+def test_fused_input_transform_matches_jnp():
+    cfg = T.v5_online_config()
+    ref = T.make_input_transform(SPEC5, STATS5, cfg)
+    fused = K.make_fused_input_transform(SPEC5, STATS5, cfg, tile_b=32)
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.normal(size=(48, SPEC5.input_len))).astype(np.float32) * 1e-3
+    x[0, 3] = np.nan
+    x[1, 9] = np.inf
+    want = np.asarray(ref(jnp.asarray(x)))
+    got = np.asarray(fused(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_input_transform_v1():
+    spec = get_varspec("v1")
+    stats = load_asset_norms("v1")
+    ref = T.make_input_transform(spec, stats)
+    fused = K.make_fused_input_transform(spec, stats, tile_b=16)
+    x = np.random.default_rng(1).normal(
+        size=(20, spec.input_len)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fused(jnp.asarray(x))),
+                               np.asarray(ref(jnp.asarray(x))),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_fused_constraint_head_matches_wrapper_math():
+    from climsim_tpu import physics
+
+    head = K.make_fused_constraint_head(STATS5, strato_lev_out=15,
+                                        tile_b=16)
+    rng = np.random.default_rng(2)
+    b = 24
+    y = rng.normal(size=(b, 308)).astype(np.float32)
+    t = (260 + 30 * rng.random((b, 60))).astype(np.float32)
+    qc = np.abs(rng.normal(size=(b, 60))).astype(np.float32) * 1e-5
+    qi = np.abs(rng.normal(size=(b, 60))).astype(np.float32) * 1e-5
+
+    got = np.asarray(head(jnp.asarray(y), jnp.asarray(t), jnp.asarray(qc),
+                          jnp.asarray(qi)))
+
+    # reference math (jnp path, mirrors online.wrapper)
+    sl = SPEC5.output_slices
+    mask = np.ones(308, np.float32)
+    for v in ("ptend_q0001", "ptend_qn", "ptend_u", "ptend_v"):
+        mask[sl[v].start: sl[v].start + 15] = 0.0
+    yu = y * mask / STATS5.out_scale.astype(np.float32)
+    dqc, dqi = physics.repartition_clouds(
+        t, qc, qi, jnp.asarray(yu[:, 0:60]), jnp.asarray(yu[:, 120:180]))
+    want = np.concatenate([
+        yu[:, 0:60], yu[:, 60:120], np.asarray(dqc), np.asarray(dqi),
+        yu[:, 180:240], yu[:, 240:300], yu[:, 300:308]], axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-9)
+    assert got.shape == (b, 368)
+
+
+def test_fused_mlp_matches_model():
+    from climsim_tpu.models import OnlineMLP
+
+    spec = get_varspec("v2_rh")
+    model = OnlineMLP(spec=spec, hidden=(96, 64), compute_dtype=jnp.float32)
+    x = np.random.default_rng(3).normal(
+        size=(32, spec.input_len)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    want = np.asarray(model.apply(params, jnp.asarray(x)))
+
+    ws, bs = K.mlp_params_to_matrices(params)
+    assert len(ws) == 3
+    n_relu = len(spec.output_scalar_vars)
+    got = np.asarray(K.fused_mlp_forward(jnp.asarray(x), ws, bs,
+                                         relu_tail=n_relu, tile_b=16))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("b", [1, 7, 256])
+def test_fused_mlp_odd_batches(b):
+    ws = [np.random.default_rng(0).normal(size=(10, 20)).astype(np.float32),
+          np.random.default_rng(1).normal(size=(20, 5)).astype(np.float32)]
+    bs = [np.zeros(20, np.float32), np.zeros(5, np.float32)]
+    x = np.random.default_rng(2).normal(size=(b, 10)).astype(np.float32)
+    got = np.asarray(K.fused_mlp_forward(jnp.asarray(x), ws, bs, tile_b=64))
+    want = np.maximum(x @ ws[0], 0) @ ws[1]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_mlp_wrapper_matches_reference_wrapper():
+    from climsim_tpu.models import OnlineMLP
+    from climsim_tpu.online import wrapper as W
+
+    spec = get_varspec("v2_rh")
+    stats = load_asset_norms("v2_rh")
+    model = OnlineMLP(spec=spec, hidden=(64, 64),
+                      compute_dtype=jnp.float32)
+    x = np.random.default_rng(5).normal(
+        size=(16, spec.input_len)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    slow = W.make_v2rh_wrapper(
+        lambda p, xn: model.apply(p, xn), stats, spec)
+    fast = W.make_fast_mlp_wrapper(model, params, stats, spec,
+                                   weights_dtype=jnp.float32)
+    want = np.asarray(slow(params, jnp.asarray(x)))
+    got = np.asarray(fast(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
