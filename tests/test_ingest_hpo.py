@@ -1,0 +1,217 @@
+"""Ingest (nc -> shards) and HPO subsystem tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from climsim_tpu.data import ingest
+from climsim_tpu.grid import synthetic_grid
+from climsim_tpu.varspec import get_varspec
+
+NCOL = 24
+LEV = 60
+
+
+def write_nc(path, vars2d, vars1d):
+    """Write an E3SM-like netCDF (CDF-1 via scipy) with (lev, ncol) dims."""
+    from scipy.io import netcdf_file
+
+    f = netcdf_file(path, "w")
+    f.createDimension("lev", LEV)
+    f.createDimension("ncol", NCOL)
+    for name, arr in vars2d.items():
+        v = f.createVariable(name, "f8", ("lev", "ncol"))
+        v[:] = arr
+    for name, arr in vars1d.items():
+        v = f.createVariable(name, "f8", ("ncol",))
+        v[:] = arr
+    f.flush()
+    f.close()
+
+
+@pytest.fixture(scope="module")
+def ncdir(tmp_path_factory):
+    """A tiny 6-timestep mli/mlo tree with plausible physics."""
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("ncdata") / "0001-02"
+    root.mkdir()
+    grid = synthetic_grid(ncol=NCOL)
+    lev_frac = (np.arange(LEV) + 0.5) / LEV
+    states = []
+    for t in range(6):
+        t2d = {
+            "state_t": 300 - 90 * (1 - lev_frac)[:, None]
+            + 2 * rng.standard_normal((LEV, NCOL)),
+            "state_q0001": np.abs(1e-2 * lev_frac[:, None]**3
+                                  + 1e-5 * rng.random((LEV, NCOL))),
+            "state_q0002": np.abs(1e-5 * rng.random((LEV, NCOL))),
+            "state_q0003": np.abs(1e-5 * rng.random((LEV, NCOL))),
+            "state_u": 10 * rng.standard_normal((LEV, NCOL)),
+            "state_v": 10 * rng.standard_normal((LEV, NCOL)),
+            "state_pmid": 1e5 * lev_frac[:, None] ** 1.2
+            * np.ones((LEV, NCOL)),
+            "pbuf_ozone": np.abs(1e-6 * rng.random((LEV, NCOL))),
+            "pbuf_CH4": np.abs(1e-6 * rng.random((LEV, NCOL))),
+            "pbuf_N2O": np.abs(1e-6 * rng.random((LEV, NCOL))),
+        }
+        t1d = {
+            "state_ps": 9e4 + 1e4 * rng.random(NCOL),
+            "pbuf_SOLIN": 1000 * rng.random(NCOL),
+            "pbuf_LHFLX": 100 * rng.random(NCOL),
+            "pbuf_SHFLX": 30 * rng.random(NCOL),
+            "pbuf_TAUX": 0.1 * rng.standard_normal(NCOL),
+            "pbuf_TAUY": 0.1 * rng.standard_normal(NCOL),
+            "pbuf_COSZRS": rng.random(NCOL),
+            "cam_in_ALDIF": rng.random(NCOL),
+            "cam_in_ALDIR": rng.random(NCOL),
+            "cam_in_ASDIF": rng.random(NCOL),
+            "cam_in_ASDIR": rng.random(NCOL),
+            "cam_in_LWUP": 300 + 50 * rng.random(NCOL),
+            "cam_in_ICEFRAC": rng.random(NCOL),
+            "cam_in_LANDFRAC": rng.random(NCOL),
+            "cam_in_OCNFRAC": rng.random(NCOL),
+            "cam_in_SNOWHICE": 0.1 * rng.random(NCOL),
+            "cam_in_SNOWHLAND": 0.1 * rng.random(NCOL),
+            "lat": grid.lat[:NCOL],
+            "lon": grid.lon[:NCOL],
+        }
+        states.append((t2d, t1d))
+
+    for t, (t2d, t1d) in enumerate(states):
+        stamp = f"0001-02-01-{t * 1200:05d}"
+        write_nc(str(root / f"E3SM-MMF.mli.{stamp}.nc"), t2d, t1d)
+        # mlo: input advanced by a small "physics" increment
+        o2d = {k: v + (1e-3 * np.abs(v) if k.startswith("state") else 0)
+               for k, v in t2d.items()}
+        o1d = {("cam_out_" + k.split("_", 2)[-1] if False else k): v
+               for k, v in t1d.items()}
+        out1d = {
+            "cam_out_NETSW": 200 * np.random.default_rng(t).random(NCOL),
+            "cam_out_FLWDS": 300 * np.random.default_rng(t + 1).random(NCOL),
+            "cam_out_PRECSC": 1e-8 * np.random.default_rng(t + 2).random(NCOL),
+            "cam_out_PRECC": 1e-7 * np.random.default_rng(t + 3).random(NCOL),
+            "cam_out_SOLS": 100 * np.random.default_rng(t + 4).random(NCOL),
+            "cam_out_SOLL": 100 * np.random.default_rng(t + 5).random(NCOL),
+            "cam_out_SOLSD": 50 * np.random.default_rng(t + 6).random(NCOL),
+            "cam_out_SOLLD": 50 * np.random.default_rng(t + 7).random(NCOL),
+            "lat": grid.lat[:NCOL], "lon": grid.lon[:NCOL],
+        }
+        write_nc(str(root / f"E3SM-MMF.mlo.{stamp}.nc"), o2d, out1d)
+    return str(root.parent)
+
+
+def test_filelist_stride(ncdir):
+    fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=2)
+    assert len(fl) == 3
+    assert all(".mli." in f for f in fl)
+
+
+def test_canonical_split_patterns():
+    # name-level check: the train pattern accepts years 1-7 + 0008-01 only
+    import fnmatch
+
+    rx, stride = ingest.CANONICAL_SPLITS["train"]
+    assert stride == 7
+    ok = ["E3SM-MMF.mli.0003-06-11-36000.nc", "E3SM-MMF.mli.0008-01-01-00000.nc"]
+    bad = ["E3SM-MMF.mli.0008-02-01-00000.nc", "E3SM-MMF.mli.0009-01-01-00000.nc"]
+    for f in ok:
+        assert any(fnmatch.fnmatch(f, r) for r in rx), f
+    for f in bad:
+        assert not any(fnmatch.fnmatch(f, r) for r in rx), f
+
+
+def test_build_split_v1(ncdir, tmp_path):
+    spec = get_varspec("v1")
+    fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=1)
+    out = ingest.build_split(fl, spec, str(tmp_path), "train")
+    x = np.load(out["input"])
+    y = np.load(out["target"])
+    assert x.shape == (6 * NCOL, 124)
+    assert y.shape == (6 * NCOL, 128)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+
+    # golden: ptend_t of file 0 == (mlo.state_t - mli.state_t)/1200
+    from climsim_tpu.utils.ncread import read_netcdf
+
+    mli = read_netcdf(fl[0])
+    mlo = read_netcdf(fl[0].replace(".mli.", ".mlo."))
+    want = ((mlo["state_t"] - mli["state_t"]) / 1200.0).T  # (ncol, lev)
+    np.testing.assert_allclose(y[:NCOL, :60], want, rtol=1e-5)
+
+
+def test_build_split_v5_window(ncdir, tmp_path):
+    spec = get_varspec("v5")
+    fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=1)
+    out = ingest.build_split(fl, spec, str(tmp_path), "train", window=True)
+    x = np.load(out["input"])
+    assert x.shape == (4 * NCOL, 1405)  # first two files consumed by window
+
+    # golden: state_t_dyn of sample block 0 (file idx 2) ==
+    # (mli[2].state_t - mlo[1].state_t)/1200
+    from climsim_tpu.utils.ncread import read_netcdf
+
+    mli2 = read_netcdf(fl[2])
+    mlo1 = read_netcdf(fl[1].replace(".mli.", ".mlo."))
+    want = ((mli2["state_t"] - mlo1["state_t"]) / 1200.0).T
+    sl = spec.input_slices["state_t_dyn"]
+    np.testing.assert_allclose(x[:NCOL, sl], want, rtol=1e-4)
+    # icol runs 1..ncol
+    np.testing.assert_allclose(
+        x[:NCOL, spec.input_slices["icol"].start], np.arange(1, NCOL + 1))
+
+
+def test_hpo_random_search(tmp_path):
+    from climsim_tpu.train import hpo
+
+    def trial(hp):
+        return (hp["x"] - 0.3) ** 2 + (hp["y"] - 0.7) ** 2
+
+    def sampler(rng):
+        return {"x": float(rng.random()), "y": float(rng.random())}
+
+    idx, best = hpo.random_search(trial, sampler, 50, str(tmp_path / "o"))
+    assert best["score"] < 0.1
+
+
+def test_hpo_oracle_multiworker(tmp_path):
+    from climsim_tpu.train.hpo import DirectoryOracle, run_worker
+
+    oracle = DirectoryOracle(str(tmp_path / "o2"))
+    oracle.publish([{"v": i} for i in range(20)])
+    done1 = run_worker(oracle, lambda hp: float(hp["v"]), max_trials=7)
+    done2 = run_worker(oracle, lambda hp: float(hp["v"]))
+    assert done1 == 7
+    assert done1 + done2 == 20
+    idx, best = oracle.best()
+    assert idx == 0 and best["score"] == 0.0
+    # resumability: a fresh worker finds nothing left
+    assert run_worker(oracle, lambda hp: 0.0) == 0
+
+
+def test_hpo_hyperband():
+    from climsim_tpu.train import hpo
+
+    calls = []
+
+    def trial(hp, resource):
+        calls.append(resource)
+        # more resource -> better estimate of the true quality
+        return (hp["x"] - 0.5) ** 2 + 1.0 / resource
+
+    best_hp, best_score = hpo.hyperband(
+        trial, lambda rng: {"x": float(rng.random())},
+        directory="", max_resource=9, eta=3, seed=0)
+    assert abs(best_hp["x"] - 0.5) < 0.25
+    assert max(calls) == 9
+
+
+def test_mlp_trial_sampler():
+    from climsim_tpu.train import hpo
+
+    rng = np.random.default_rng(0)
+    space = hpo.mlp_search_space()
+    hp = hpo.sample_mlp_trial(space, rng)
+    assert 2 <= len(hp["hidden"]) <= 12
+    assert all(128 <= u <= 1024 and u % 128 == 0 for u in hp["hidden"])
+    assert hp["activation"] in ("relu", "elu", "leakyrelu")
