@@ -50,3 +50,21 @@ def tiny_grid():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def _ensure_native_built():
+    """Build the C++ loader once if the toolchain is available."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "climsim_tpu", "data", "libclimload.so")
+    src = os.path.join(root, "runtime")
+    if not os.path.exists(so) and os.path.isdir(src):
+        try:
+            subprocess.run(["make", "-C", src], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass  # tests depending on the .so will skip
+
+
+_ensure_native_built()
