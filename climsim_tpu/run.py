@@ -1,0 +1,171 @@
+"""Experiment runner: config -> data -> trainer -> fit -> offline score.
+
+CLI:  python -m climsim_tpu.run --preset mlp_v1 [k.ey=value ...]
+      python -m climsim_tpu.run --config exp.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from .config import PRESETS, ExperimentConfig
+from .data.pipeline import BatchLoader, BootstrapLoader
+from .data.synthetic import synthetic_split
+from .grid import load_default_grid
+from .norms import (compute_norms_from_data, identity_norms,
+                    load_asset_norms)
+from .parallel.mesh import ShardingRules, distributed_init_if_needed, make_mesh
+from .train import recipes
+from .train.checkpoints import TopKCheckpointer
+from .train.loop import EarlyStopping, PlateauController, fit, run_epoch
+from .varspec import get_varspec
+
+
+def load_data(cfg: ExperimentConfig, grid):
+    spec = get_varspec(cfg.data.varspec)
+    if cfg.data.source == "synthetic":
+        x, y = synthetic_split(spec, cfg.data.num_synthetic, grid,
+                               cfg.data.seed)
+        if "icol" in spec.inputs:
+            x[:, spec.input_slices["icol"]] = (
+                np.arange(x.shape[0]) % grid.ncol + 1)[:, None]
+    else:
+        x = np.load(cfg.data.input_path, mmap_mode="r")
+        y = np.load(cfg.data.target_path, mmap_mode="r")
+    if cfg.data.norms == "asset":
+        stats = load_asset_norms(cfg.data.varspec)
+    elif cfg.data.norms == "compute":
+        stats = compute_norms_from_data(spec, np.asarray(x), np.asarray(y))
+    else:
+        stats = identity_norms(spec)
+    return spec, x, y, stats
+
+
+def build_trainer(cfg: ExperimentConfig, spec, stats, sample, rng, rules,
+                  steps_per_epoch, grid):
+    common = dict(rules=rules, steps_per_epoch=steps_per_epoch,
+                  cfg=cfg.transform)
+    t = cfg.train
+    if cfg.model == "mlp":
+        return recipes.mlp_trainer(spec, stats, sample, rng,
+                                   **cfg.model_kw, **common)
+    if cfg.model == "ed":
+        return recipes.ed_trainer(spec, stats, sample, rng, **common)
+    if cfg.model == "cnn":
+        return recipes.cnn_trainer(spec, stats, sample, rng,
+                                   loss_kind=t.loss, **cfg.model_kw,
+                                   **common)
+    if cfg.model == "hsr":
+        return recipes.hsr_trainer(spec, stats, sample, rng, lr=t.lr,
+                                   **cfg.model_kw, **common)
+    if cfg.model == "cvae":
+        return recipes.cvae_trainer(spec, stats, sample, rng, lr=t.lr,
+                                    **cfg.model_kw, **common)
+    if cfg.model == "mlp_online":
+        return recipes.online_mlp_trainer(
+            spec, stats, sample, rng, loss_kind=t.loss,
+            block_weights=t.block_weights or None,
+            energy_weight=t.energy_weight, grid=grid, lr=t.lr,
+            **cfg.model_kw, **common)
+    if cfg.model == "unet":
+        return recipes.unet_trainer(
+            spec, stats, sample, rng, model_kw=cfg.model_kw,
+            loss_kind=t.loss, block_weights=t.block_weights or None,
+            energy_weight=t.energy_weight, grid=grid, lr=t.lr,
+            schedule_name=t.schedule, total_epochs=t.epochs, **common)
+    if cfg.model == "unet_classifier":
+        return recipes.unet_classifier_trainer(
+            spec, stats, sample, rng, model_kw=cfg.model_kw, lr=t.lr,
+            **common)
+    raise ValueError(f"unknown model {cfg.model!r} "
+                     "(rpn uses climsim_tpu.train.rpn_recipe directly)")
+
+
+def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
+    distributed_init_if_needed()
+    grid = load_default_grid()
+    spec, x, y, stats = load_data(cfg, grid)
+
+    n = x.shape[0]
+    n_val = max(int(n * cfg.data.val_fraction), cfg.data.batch_size) \
+        if cfg.data.val_fraction > 0 else 0
+    x_tr, y_tr = x[: n - n_val], y[: n - n_val]
+    x_val, y_val = x[n - n_val:], y[n - n_val:]
+
+    n_dev = cfg.train.num_data_shards or len(jax.devices())
+    rules = None
+    if n_dev > 1:
+        rules = ShardingRules(make_mesh(num_data=n_dev,
+                                        devices=jax.devices()[:n_dev]))
+
+    steps = max(x_tr.shape[0] // cfg.data.batch_size, 1)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    if cfg.model == "rpn":
+        from .train.rpn_recipe import rpn_trainer
+
+        tr = rpn_trainer(spec, stats, x_tr, rng, cfg=cfg.transform,
+                         **cfg.model_kw)
+        loader = BootstrapLoader(
+            np.asarray(x_tr), np.asarray(y_tr), cfg.data.batch_size,
+            cfg.model_kw.get("ensemble_size", 32), steps_per_epoch=steps,
+            seed=cfg.data.seed)
+        params, opt_state = tr.params, tr.opt_state
+        for epoch in range(cfg.train.epochs):
+            losses = []
+            for xb, yb in loader:
+                params, opt_state, l = tr.train_step(
+                    params, opt_state, tr.prior, xb, yb)
+                losses.append(float(np.mean(np.asarray(l))))
+            if verbose:
+                print(f"epoch {epoch}: loss {np.mean(losses):.5f}")
+        return dict(trainer=tr, params=params, stats=stats, spec=spec)
+
+    tr = build_trainer(cfg, spec, stats, (np.asarray(x_tr[:4]),
+                                          np.asarray(y_tr[:4])), rng,
+                       rules, steps, grid)
+    train_loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size, rules,
+                               seed=cfg.data.seed)
+    val_loader = (BatchLoader(x_val, y_val, cfg.data.batch_size, rules,
+                              shuffle=False) if n_val else None)
+    ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
+            if cfg.train.checkpoint_dir else None)
+    plateau = (PlateauController(cfg.train.plateau_patience)
+               if cfg.train.plateau_patience else None)
+    early = (EarlyStopping(cfg.train.early_stop_patience)
+             if cfg.train.early_stop_patience else None)
+    state, history = fit(tr.train_step, tr.eval_step, tr.state,
+                         train_loader, val_loader, cfg.train.epochs,
+                         ckpt=ckpt, plateau=plateau, early=early,
+                         verbose=verbose)
+    return dict(trainer=tr, state=state, history=history, stats=stats,
+                spec=spec, grid=grid)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESETS))
+    ap.add_argument("--config", help="path to ExperimentConfig json")
+    ap.add_argument("overrides", nargs="*", help="dotted key=value")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    if args.config:
+        import json
+
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_dict(json.load(f))
+    elif args.preset:
+        cfg = PRESETS[args.preset]
+    else:
+        ap.error("need --preset or --config")
+    if args.overrides:
+        cfg = cfg.override(*args.overrides)
+    run_experiment(cfg, verbose=not args.quiet)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Config system, experiment runner, analysis/figures, Kaggle export."""
+
+import numpy as np
+import pytest
+
+from climsim_tpu.config import PRESETS, ExperimentConfig
+from climsim_tpu.grid import load_default_grid
+from climsim_tpu.varspec import get_varspec
+
+GRID = load_default_grid()
+
+
+def test_config_roundtrip_and_override():
+    cfg = PRESETS["mlp_v1"]
+    j = cfg.to_json()
+    import json
+
+    cfg2 = ExperimentConfig.from_dict(json.loads(j))
+    assert cfg2.model == "mlp"
+    cfg3 = cfg2.override("train.epochs=3", "data.batch_size=256",
+                         "model_kw.hidden=[128,128]")
+    assert cfg3.train.epochs == 3
+    assert cfg3.data.batch_size == 256
+    assert cfg3.model_kw["hidden"] == [128, 128]
+    # original untouched
+    assert cfg2.train.epochs == 18
+
+
+def test_presets_cover_reference_models():
+    names = set(PRESETS)
+    assert {"mlp_v1", "cnn_v1", "ed_v1", "hsr_v1", "rpn_v1", "cvae_v1",
+            "mlp_v2rh", "unet_v4", "unet_v5",
+            "unet_v5_classifier"} <= names
+
+
+def test_run_experiment_small():
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["ed_v1"].override(
+        "train.epochs=2", "data.num_synthetic=1536",
+        "data.batch_size=256", "data.norms=compute",
+        "train.num_data_shards=1")
+    out = run_experiment(cfg, verbose=False)
+    assert len(out["history"].rows) == 2
+    assert np.isfinite(out["history"].rows[-1]["val_loss"])
+
+
+def test_run_experiment_sharded():
+    import jax
+
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["mlp_v1"].override(
+        "train.epochs=1", "data.num_synthetic=1536",
+        "data.batch_size=512", "data.norms=compute",
+        "model_kw.hidden=[64,64]",
+        f"train.num_data_shards={min(8, len(jax.devices('cpu')))}")
+    out = run_experiment(cfg, verbose=False)
+    assert np.isfinite(out["history"].rows[0]["train_loss"])
+
+
+def test_reshape_daily_and_r2_map(tmp_path):
+    from climsim_tpu.eval import analysis as A
+
+    rng = np.random.default_rng(0)
+    days, spd = 3, 12
+    n = days * spd * GRID.ncol
+    target = rng.normal(size=(n, 128))
+    pred = target + 0.3 * rng.normal(size=(n, 128))
+    td_t, td_q = A.reshape_daily(target, GRID, spd)
+    pd_t, pd_q = A.reshape_daily(pred, GRID, spd)
+    nlat = len(GRID.unique_lats)
+    assert td_t.shape == (nlat, days, 60)
+    r2 = A.daily_zonal_r2(pd_t, td_t)
+    assert r2.shape == (nlat, 60)
+    assert np.nanmax(r2) <= 1.0
+
+    plat = A.mean_pressure_by_lat(GRID)
+    assert plat.shape == (nlat, 60)
+    fig = A.plot_r2_maps({"m1": r2}, GRID, plat,
+                         str(tmp_path / "r2.png"))
+    assert (tmp_path / "r2.png").exists()
+
+
+def test_plot_metric_bars(tmp_path):
+    from climsim_tpu.eval.analysis import plot_metric_bars
+
+    tables = {"a": {"ptend_t": {"MAE": 2.5}, "NETSW": {"MAE": 13.0}},
+              "b": {"ptend_t": {"MAE": 2.7}, "NETSW": {"MAE": 19.0}}}
+    plot_metric_bars(tables, "MAE", str(tmp_path / "bars.png"))
+    assert (tmp_path / "bars.png").exists()
+
+
+def test_kaggle_export():
+    from climsim_tpu.data import kaggle
+
+    spec = get_varspec("v2")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20, spec.input_len)).astype(np.float32)
+    y = rng.normal(size=(20, spec.output_len)).astype(np.float32)
+    df = kaggle.make_train_frame(x, y)
+    assert df.shape == (20, 557 + 368 - 1)  # SNOWHICE dropped
+    assert "cam_in_SNOWHICE" not in df.columns
+    assert df.index.name == "sample_id"
+    assert "state_t_0" in df.columns and "ptend_v_59" in df.columns
+
+    names, w = kaggle.output_weights(y)
+    assert len(names) == 368
+    # ablated stratosphere tendencies zeroed; ptend_t untouched
+    assert w[names.index("ptend_q0001_0")] == 0.0
+    assert w[names.index("ptend_q0001_12")] > 0.0
+    assert w[names.index("ptend_t_0")] > 0.0
+    sub = kaggle.make_submission_frame([f"test_{i}" for i in range(5)], y)
+    assert sub.shape == (5, 368)
+
+
+def test_profiling_utils():
+    import jax
+    import jax.numpy as jnp
+
+    from climsim_tpu.utils.profiling import (MetricsLogger, cost_analysis,
+                                             time_fn)
+
+    f = jax.jit(lambda x: jnp.dot(x, x.T).sum())
+    x = jnp.ones((64, 64))
+    t = time_fn(f, x, iters=5)
+    assert t > 0
+    ca = cost_analysis(f, x)
+    assert ca.get("flops", 0) > 0
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ml = MetricsLogger(d, "t")
+        ml.log(0, loss=1.0)
+        ml.log(1, loss=0.5, lr=1e-3)
+        p = ml.to_csv()
+        import os
+
+        assert os.path.exists(p)
