@@ -32,7 +32,7 @@ def main():
     grid = load_default_grid()
     stats = load_asset_norms("v1")
 
-    batch = 24576
+    batch = 98304
     n_chips = max(len(jax.devices()), 1)
     x, y = synthetic_split(spec, n=batch * 4, grid=grid, seed=0)
 
@@ -48,15 +48,16 @@ def main():
     yb = [jax.device_put(y[i * batch:(i + 1) * batch]) for i in range(4)]
 
     state = tr.state
-    # warmup + compile
+    # warmup + compile; sync via host transfer (block_until_ready can
+    # return early on remote-attached TPU runtimes)
     state, m = tr.train_step(state, xb[0], yb[0])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     steps = 100
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = tr.train_step(state, xb[i % 4], yb[i % 4])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forces the whole dependency chain
     dt = time.perf_counter() - t0
 
     sps_chip = steps * batch / dt / n_chips

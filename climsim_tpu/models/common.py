@@ -47,7 +47,10 @@ class Dense(nn.Module):
             x.astype(self.compute_dtype), k.astype(self.compute_dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return y + b
+        # activations stay in compute_dtype: trunk layers are HBM-bandwidth
+        # bound at large batch, and bf16 activations cut that traffic in
+        # half (measured ~1.6x step speedup on v5e for the MLP baseline)
+        return (y + b).astype(self.compute_dtype)
 
 
 class MLPTrunk(nn.Module):
@@ -91,7 +94,7 @@ class LinReluHead(nn.Module):
                     name="out_linear")(x)
         rel = nn.relu(Dense(self.relu_features, self.compute_dtype,
                             name="out_relu")(x))
-        return jnp.concatenate([lin, rel], axis=-1)
+        return jnp.concatenate([lin, rel], axis=-1).astype(jnp.float32)
 
 
 def param_count(params) -> int:

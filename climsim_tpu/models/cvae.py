@@ -40,11 +40,13 @@ class CVAE(nn.Module):
 
     def encode(self, y, x):
         h = self.enc_trunk(jnp.concatenate([y, x], axis=-1))
-        return self.enc_mean(h), self.enc_logstd(h)
+        return (self.enc_mean(h).astype(jnp.float32),
+                self.enc_logstd(h).astype(jnp.float32))
 
     def decode(self, z, x):
         h = self.dec_trunk(jnp.concatenate([z, x], axis=-1))
-        return self.dec_mean(h), jnp.exp(self.dec_logstd(h))
+        return (self.dec_mean(h).astype(jnp.float32),
+                jnp.exp(self.dec_logstd(h).astype(jnp.float32)))
 
     def __call__(self, y, x, rng=None, deterministic: bool = True):
         """Training pass: returns (y_mean, y_std, kl)."""

@@ -32,4 +32,4 @@ class EncoderDecoder(nn.Module):
                      compute_dtype=self.compute_dtype, name="decoder")(
                          z, deterministic)
         return nn.elu(Dense(self.spec.output_len, self.compute_dtype,
-                            name="out")(h))
+                            name="out")(h)).astype(jnp.float32)

@@ -32,10 +32,10 @@ class HSR(nn.Module):
                   compute_dtype=self.compute_dtype)
         hm = MLPTrunk(**kw, name="mean_trunk")(x, deterministic)
         mean = Dense(self.spec.output_len, self.compute_dtype,
-                     name="mean_out")(hm)
+                     name="mean_out")(hm).astype(jnp.float32)
         hp = MLPTrunk(**kw, name="logprec_trunk")(x, deterministic)
         logprec = Dense(self.spec.output_len, self.compute_dtype,
-                        name="logprec_out")(hp)
+                        name="logprec_out")(hp).astype(jnp.float32)
         return mean, logprec
 
     def sample(self, variables, x, rng, num_samples: int = 1):

@@ -66,7 +66,8 @@ class OnlineMLP(nn.Module):
         h = MLPTrunk(self.hidden, self.activation,
                      compute_dtype=self.compute_dtype)(x, deterministic)
         y = Dense(lin + rel, self.compute_dtype, name="out")(h)
-        y = jnp.concatenate([y[:, :lin], nn.relu(y[:, lin:])], axis=-1)
+        y = jnp.concatenate([y[:, :lin], nn.relu(y[:, lin:])],
+                            axis=-1).astype(jnp.float32)
         if self.output_prune:
             import numpy as np
 

@@ -33,7 +33,7 @@ class RPNNet(nn.Module):
         h = MLPTrunk(self.hidden, "leakyrelu",
                      compute_dtype=self.compute_dtype)(x, deterministic)
         return Dense(self.spec.output_len, self.compute_dtype,
-                     name="out")(h)
+                     name="out")(h).astype(jnp.float32)
 
 
 class RPNEnsemble:

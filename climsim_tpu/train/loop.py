@@ -88,7 +88,10 @@ def run_epoch(train_step, state: TrainState, loader, log_every: int = 0,
         n_samples += xb.shape[0]
         if log_every and (i + 1) % log_every == 0 and callback:
             callback(i, float(jax.device_get(metrics["loss"])))
-    jax.block_until_ready(state.params)
+    if losses:
+        # host transfer of the last loss forces the full chain
+        # (block_until_ready can return early on remote-attached TPUs)
+        float(jax.device_get(losses[-1]))
     dt = time.perf_counter() - t0
     mean_loss = float(np.mean([float(jax.device_get(x)) for x in losses]))
     return state, mean_loss, n_samples / max(dt, 1e-9)

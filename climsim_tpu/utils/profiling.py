@@ -29,18 +29,26 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _force(out):
+    """Synchronize by pulling one leaf to host: block_until_ready can
+    return early on remote-attached TPU runtimes (tunnel transports)."""
+    leaf = jax.tree.leaves(out)[0]
+    np_leaf = jax.device_get(leaf)
+    return np_leaf
+
+
 def time_fn(fn, *args, iters: int = 50, warmup: int = 2):
     """Median wall time per call (seconds) with compile excluded."""
     import numpy as np
 
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
