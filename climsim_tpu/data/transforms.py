@@ -220,3 +220,31 @@ def channelize_target(y, spec: VarSpec):
         else:
             parts.append(jnp.broadcast_to(y[:, sl], (y.shape[0], NUM_LEVELS)))
     return jnp.stack(parts, axis=-1)
+
+
+# --- feature subsetting (MLP_v2 UTLS variant) ------------------------------
+def utls_feature_indices(spec: VarSpec, utls_vars=("pbuf_ozone", "pbuf_CH4",
+                                                   "pbuf_N2O"),
+                         lo: int = 5, hi: int = 21) -> np.ndarray:
+    """Indices keeping only UTLS levels [lo, hi) of the trace-gas profiles.
+
+    The MLP_v2 baseline truncates ozone/CH4/N2O to levels 5-21 where their
+    variance is non-negligible (hpo_baseline_v2.py:169-177); v2: 557 -> 425.
+    """
+    keep = []
+    for v in spec.inputs:
+        sl = spec.input_slices[v]
+        if v in utls_vars:
+            keep.extend(range(sl.start + lo, sl.start + hi))
+        else:
+            keep.extend(range(sl.start, sl.stop))
+    return np.asarray(keep, dtype=np.int64)
+
+
+def make_subset_transform(indices: np.ndarray):
+    idx = jnp.asarray(indices)
+
+    def transform(x):
+        return x[:, idx]
+
+    return transform

@@ -123,3 +123,21 @@ def load_asset_norms(version: str) -> NormStats:
         res.files("climsim_tpu") / "assets" / f"norms_{version}.npz"
     ) as p:
         return NormStats.from_npz(str(p))
+
+
+def compute_exponential_lambda(q: np.ndarray, threshold: float = 1e-7,
+                               fill: float = 1e7) -> np.ndarray:
+    """Per-level cloud exponential-transform rate lambda = 1/mean(q | q >
+    threshold); levels with no cloudy samples get a huge rate (transform
+    saturates immediately).  Mirrors cloud_exponential_transformation.ipynb
+    cells 5-7 (nan -> 1e7 fill).
+
+    q: (N, levels) raw cloud water (qc, qi, or qn).
+    """
+    q = np.asarray(q, np.float64)
+    lbd = np.empty(q.shape[1])
+    for l in range(q.shape[1]):
+        col = q[:, l]
+        cloudy = col[col > threshold]
+        lbd[l] = 1.0 / cloudy.mean() if cloudy.size else fill
+    return np.where(np.isfinite(lbd), lbd, fill)

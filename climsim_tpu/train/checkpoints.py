@@ -86,3 +86,26 @@ class TopKCheckpointer:
     def _flush(self):
         with open(os.path.join(self.directory, "topk.json"), "w") as f:
             json.dump(self._entries, f)
+
+
+@dataclass
+class TimedCheckpointer:
+    """Wall-clock periodic checkpointing (the reference saves every 1200 s
+    during torch training: hsr.py:120-121, tools.py:26-49).  Call
+    ``maybe_save`` from the training loop; it writes at most once per
+    interval."""
+
+    path: str
+    interval_seconds: float = 1200.0
+    _last: float | None = None
+
+    def maybe_save(self, tree) -> bool:
+        import time as _time
+
+        now = _time.monotonic()
+        if self._last is not None and \
+                now - self._last < self.interval_seconds:
+            return False
+        save_pytree(self.path, tree)
+        self._last = now
+        return True
