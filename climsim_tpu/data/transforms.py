@@ -142,7 +142,7 @@ def make_input_transform(spec: VarSpec, stats: NormStats,
         lbd = jnp.asarray(stats.lbd_qn, dtype=jnp.float32)
 
     def transform(x):
-        x = x.astype(jnp.float32)
+        x = jnp.asarray(x, dtype=jnp.float32)
         if use_qn:
             qn = 1.0 - jnp.exp(-x[:, qn_sl] * lbd)
             x = x.at[:, qn_sl].set(qn)
