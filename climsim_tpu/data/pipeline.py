@@ -132,3 +132,69 @@ class BootstrapLoader(BatchLoader):
                 q.put((xb, yb))
         finally:
             q.put(None)
+
+
+class DeviceResidentLoader:
+    """Whole-split-in-HBM loader: upload once, shuffle and gather on device.
+
+    The production path for the low-res dataset (the v1 train split is
+    ~5 GB fp32 -- it fits in one chip's HBM, and a fortiori sharded over a
+    mesh).  Per epoch a permutation is drawn *on device* (jax.random, no
+    host->device index upload) and each batch is one device gather
+    producing a fresh dense array -- measured: plain slices of resident
+    arrays are ~3x slower inside jit than materialized batches, so the
+    gather-per-batch layout wins.  Steady-state training does zero
+    host->device transfers (SURVEY.md section 7 'input pipeline beats
+    compute' mitigation).
+    """
+
+    def __init__(self, inputs, targets, batch_size: int, rules=None,
+                 shuffle: bool = True, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        sharding = rules.batch if rules is not None else None
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.device_put
+        self.x = put(np.ascontiguousarray(inputs))
+        self.y = put(np.ascontiguousarray(targets))
+        self.n = inputs.shape[0]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._key = jax.random.PRNGKey(seed)
+        self._sharding = sharding
+        n, b = self.n, batch_size
+
+        def perm(key):
+            return jax.random.permutation(key, n)
+
+        def gather(x, y, idx, s):
+            sl = jax.lax.dynamic_slice_in_dim(idx, s * b, b)
+            return jnp.take(x, sl, axis=0), jnp.take(y, sl, axis=0)
+
+        # s is a traced scalar (not static) so all steps share one
+        # executable
+        if sharding is not None:
+            self._perm = jax.jit(perm, out_shardings=sharding)
+            self._gather = jax.jit(
+                gather,
+                in_shardings=(sharding, sharding, sharding, None),
+                out_shardings=(sharding, sharding))
+        else:
+            self._perm = jax.jit(perm)
+            self._gather = jax.jit(gather)
+        self._arange = put(np.arange(n))
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.n // self.batch_size
+
+    def __iter__(self):
+        if self.shuffle:
+            self._key, sub = self._jax.random.split(self._key)
+            idx = self._perm(sub)
+        else:
+            idx = self._arange
+        for s in range(self.steps_per_epoch):
+            yield self._gather(self.x, self.y, idx, s)

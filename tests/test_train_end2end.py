@@ -144,3 +144,37 @@ def test_bootstrap_loader_shapes(data):
     assert yb.shape == (4, 32, SPEC.output_len)
     # members draw different bootstrap rows
     assert not np.array_equal(xb[0], xb[1])
+
+
+def test_device_resident_loader(data):
+    from climsim_tpu.data.pipeline import DeviceResidentLoader
+
+    x, y, stats = data
+    ld = DeviceResidentLoader(x[:1024], y[:1024], 256, seed=0)
+    seen = []
+    for xb, yb in ld:
+        assert xb.shape == (256, SPEC.input_len)
+        seen.append(np.asarray(xb))
+    assert len(seen) == 4
+    allx = np.concatenate(seen)
+    # full coverage of the epoch (match rows via feature-0 values)
+    np.testing.assert_allclose(np.sort(allx[:, 0]), np.sort(x[:1024, 0]),
+                               rtol=1e-6)
+    # second epoch differs (reshuffled)
+    first_again = next(iter(ld))[0]
+    assert not np.array_equal(np.asarray(first_again), seen[0])
+
+
+def test_device_resident_loader_sharded(data):
+    x, y, stats = data
+    from climsim_tpu.data.pipeline import DeviceResidentLoader
+
+    mesh = make_mesh(num_data=8, devices=jax.devices("cpu")[:8])
+    rules = ShardingRules(mesh)
+    ld = DeviceResidentLoader(x[:1024], y[:1024], 512, rules=rules, seed=1)
+    tr = recipes.ed_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(0),
+                            rules=rules, steps_per_epoch=2)
+    state = tr.state
+    for xb, yb in ld:
+        state, m = tr.train_step(state, xb, yb)
+    assert np.isfinite(float(m["loss"]))
