@@ -28,6 +28,7 @@ class DataConfig:
     batch_size: int = 1024
     norms: str = "asset"             # 'asset' | 'compute' | 'identity'
     use_native_loader: bool = True
+    loader: str = "auto"    # auto | host | device
     seed: int = 0
 
 

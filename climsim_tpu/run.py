@@ -128,10 +128,28 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
     tr = build_trainer(cfg, spec, stats, (np.asarray(x_tr[:4]),
                                           np.asarray(y_tr[:4])), rng,
                        rules, steps, grid)
-    train_loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size, rules,
-                               seed=cfg.data.seed)
-    val_loader = (BatchLoader(x_val, y_val, cfg.data.batch_size, rules,
-                              shuffle=False) if n_val else None)
+
+    # loader selection: HBM residency is the fast path when the split fits
+    # (~60% of one chip's HBM leaves room for activations); fall back to
+    # the prefetching host loader otherwise
+    use_device = cfg.data.loader == "device" or (
+        cfg.data.loader == "auto"
+        and jax.default_backend() == "tpu"
+        and (x_tr.nbytes + y_tr.nbytes) < 9e9)
+    if use_device:
+        from .data.pipeline import DeviceResidentLoader
+
+        train_loader = DeviceResidentLoader(
+            np.asarray(x_tr), np.asarray(y_tr), cfg.data.batch_size,
+            rules, seed=cfg.data.seed)
+        val_loader = (DeviceResidentLoader(
+            np.asarray(x_val), np.asarray(y_val), cfg.data.batch_size,
+            rules, shuffle=False) if n_val else None)
+    else:
+        train_loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size, rules,
+                                   seed=cfg.data.seed)
+        val_loader = (BatchLoader(x_val, y_val, cfg.data.batch_size, rules,
+                                  shuffle=False) if n_val else None)
     ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
             if cfg.train.checkpoint_dir else None)
     plateau = (PlateauController(cfg.train.plateau_patience)
