@@ -78,3 +78,24 @@ def drift(traj: np.ndarray, grid: Grid, ps=1.0e5) -> float:
     a = (traj[:q] * w).sum() / (w.sum() * q)
     b = (traj[-q:] * w).sum() / (w.sum() * q)
     return float(b - a)
+
+
+def microphysics_checks(traj_qn: np.ndarray, traj_t: np.ndarray,
+                        precc: np.ndarray | None = None) -> dict:
+    """Microphysics-constraint diagnostics over a rollout
+    (microphysics-constraints notebook): negative-condensate rate,
+    supercooled-liquid occurrence above the all-ice threshold, cloud
+    fraction, precipitation negativity.
+    """
+    out = {
+        "frac_negative_qn": float((traj_qn < 0).mean()),
+        "frac_cloudy": float((traj_qn > 1e-7).mean()),
+        "qn_max": float(traj_qn.max()),
+        # cloud water persisting below 253.16 K should be ice-only; count
+        # grid points where qn exists at T far below the ramp
+        "frac_cold_cloud": float(((traj_qn > 1e-7)
+                                  & (traj_t < 233.16)).mean()),
+    }
+    if precc is not None:
+        out["frac_negative_precc"] = float((precc < 0).mean())
+    return out
