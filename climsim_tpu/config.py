@@ -12,8 +12,6 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
-
 from .data.transforms import TransformConfig, v5_online_config
 
 

@@ -9,7 +9,7 @@ by variable/level through the VarSpec offsets.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

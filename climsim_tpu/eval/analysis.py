@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..grid import Grid
-from ..varspec import VarSpec
 
 
 def reshape_daily(output: np.ndarray, grid: Grid, samples_per_day: int = 12):

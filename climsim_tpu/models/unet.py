@@ -35,7 +35,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..varspec import NUM_LEVELS, VarSpec, var_len
+from ..varspec import NUM_LEVELS, VarSpec
 
 
 class Conv1d(nn.Module):

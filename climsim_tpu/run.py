@@ -21,7 +21,7 @@ from .norms import (compute_norms_from_data, identity_norms,
 from .parallel.mesh import ShardingRules, distributed_init_if_needed, make_mesh
 from .train import recipes
 from .train.checkpoints import TopKCheckpointer
-from .train.loop import EarlyStopping, PlateauController, fit, run_epoch
+from .train.loop import EarlyStopping, PlateauController, fit
 from .varspec import get_varspec
 
 

@@ -12,7 +12,6 @@ fixed memory pools).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax

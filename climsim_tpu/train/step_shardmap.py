@@ -12,11 +12,9 @@ quantize/compress gradients before the reduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Train all six offline baselines on the synthetic split and produce the
+headline metric tables (the main_figure_generation flow, end to end).
+
+Writes docs/SYNTHETIC_RESULTS.md.  Run on TPU: python scripts/run_all_baselines.py
+"""
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
+    from climsim_tpu.data.pipeline import (BatchLoader, BootstrapLoader,
+                                           DeviceResidentLoader)
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.data.transforms import make_target_transform
+    from climsim_tpu.eval.scoring import offline_score
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.norms import compute_norms_from_data
+    from climsim_tpu.train import recipes
+    from climsim_tpu.train.loop import run_epoch
+    from climsim_tpu.train.rpn_recipe import rpn_trainer
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v1")
+    grid = load_default_grid()
+    x, y = synthetic_split(spec, n=n_train + n_score, grid=grid, seed=0,
+                           noise=0.03)
+    stats = compute_norms_from_data(spec, x[:n_train], y[:n_train])
+    x_tr, y_tr = x[:n_train], y[:n_train]
+    x_sc, y_sc = x[n_train:], y[n_train:]
+    on_tpu = jax.default_backend() == "tpu"
+    Loader = DeviceResidentLoader if on_tpu else BatchLoader
+
+    rng = jax.random.PRNGKey(0)
+    preds, samples, train_info = {}, {}, {}
+
+    def train_generic(name, tr, batch=1024, n_epochs=epochs,
+                      stage2_after=None):
+        loader = Loader(x_tr, y_tr, batch, seed=0)
+        state = tr.state
+        t0 = time.time()
+        for ep in range(n_epochs):
+            step = tr.train_step
+            if stage2_after is not None and ep >= stage2_after:
+                step = tr.stage2_step
+            state, loss, sps = run_epoch(step, state, loader)
+        train_info[name] = dict(loss=loss, sps=sps,
+                                secs=round(time.time() - t0, 1))
+        preds[name] = tr.predict(state.params, x_sc, 4096)
+        if tr.sample is not None:
+            samples[name] = np.asarray(
+                tr.sample(state.params, x_sc, jax.random.PRNGKey(9), 32))
+        print(f"{name}: loss {loss:.4f} ({sps:,.0f} samples/s)")
+        return state
+
+    train_generic("MLP", recipes.mlp_trainer(
+        spec, stats, (x_tr, y_tr), rng, steps_per_epoch=n_train // 1024))
+    train_generic("ED", recipes.ed_trainer(
+        spec, stats, (x_tr, y_tr), rng, steps_per_epoch=n_train // 1024))
+    train_generic("CNN", recipes.cnn_trainer(
+        spec, stats, (x_tr, y_tr), rng, steps_per_epoch=n_train // 512),
+        batch=512, n_epochs=max(epochs // 2, 3))
+    train_generic("HSR", recipes.hsr_trainer(
+        spec, stats, (x_tr, y_tr), rng), stage2_after=epochs // 3)
+    train_generic("cVAE", recipes.cvae_trainer(
+        spec, stats, (x_tr, y_tr), rng))
+
+    # RPN ensemble
+    tr = rpn_trainer(spec, stats, x_tr, rng, ensemble_size=8,
+                     hidden=(256, 256))
+    bl = BootstrapLoader(x_tr, y_tr, 1024, 8,
+                         steps_per_epoch=n_train // 1024, seed=0)
+    params, opt_state = tr.params, tr.opt_state
+    t0 = time.time()
+    for ep in range(epochs):
+        for xb, yb in bl:
+            params, opt_state, losses = tr.train_step(
+                params, opt_state, tr.prior, xb, yb)
+    post = []
+    for s in range(0, n_score, 4096):
+        post.append(np.asarray(tr.posterior(params, tr.prior,
+                                            x_sc[s:s + 4096])))
+    post = np.concatenate(post)
+    preds["RPN"] = post.mean(axis=-1)
+    samples["RPN"] = post
+    train_info["RPN"] = dict(loss=float(np.mean(np.asarray(losses))),
+                             sps=0, secs=round(time.time() - t0, 1))
+    print(f"RPN: loss {train_info['RPN']['loss']:.4f}")
+
+    # score everything
+    tgt = np.asarray(make_target_transform(spec, stats)(y_sc))
+    x_sc_n = (x_sc - stats.inp_sub) / stats.inp_div
+    tables, _ = offline_score(spec, grid, stats, x_sc_n, tgt, preds,
+                              samples)
+
+    # render markdown
+    lines = [
+        "# Synthetic-split baseline results",
+        "",
+        "All six offline baselines trained end to end on the framework's "
+        "synthetic v1 split and scored with the weighted metric engine "
+        f"(backend: {jax.default_backend()}, {epochs} epochs, "
+        f"{n_train:,} train / {n_score:,} scoring samples).  These numbers "
+        "validate the *machinery* (training, sampling, weighting, CRPS); "
+        "skill against BASELINE.md requires the real dataset "
+        "(docs/ROADMAP.md item 1).",
+        "",
+    ]
+    models = list(tables)
+    for metric in ("MAE", "RMSE", "R2", "CRPS"):
+        have = [m for m in models
+                if any(metric in row for row in tables[m].values())]
+        if not have:
+            continue
+        rows = [v for v in tables[have[0]]
+                if metric in tables[have[0]][v]]
+        lines += [f"## {metric}", "",
+                  "| Variable | " + " | ".join(have) + " |",
+                  "|---|" + "---|" * len(have)]
+        for v in rows:
+            vals = " | ".join(f"{tables[m][v][metric]:.3f}" for m in have)
+            lines.append(f"| {v} | {vals} |")
+        lines.append("")
+    lines += ["## Training", "",
+              "| Model | final loss | samples/s | wall (s) |",
+              "|---|---|---|---|"]
+    for m, info in train_info.items():
+        lines.append(f"| {m} | {info['loss']:.4f} | "
+                     f"{info['sps']:,.0f} | {info['secs']} |")
+    with open("docs/SYNTHETIC_RESULTS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote docs/SYNTHETIC_RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,6 @@
 """Config system, experiment runner, analysis/figures, Kaggle export."""
 
 import numpy as np
-import pytest
 
 from climsim_tpu.config import PRESETS, ExperimentConfig
 from climsim_tpu.grid import load_default_grid

@@ -4,7 +4,6 @@ checkpoints, metrics CLI, IO helpers."""
 import os
 
 import numpy as np
-import pytest
 
 from climsim_tpu.varspec import get_varspec
 
