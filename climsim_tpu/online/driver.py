@@ -174,3 +174,33 @@ jax.tree_util.register_dataclass(
     data_fields=["t", "q1", "qc", "qi", "u", "v", "scalars", "prvphy",
                  "tm_prvphy", "dyn", "tm_dyn"],
     meta_fields=[])
+
+
+class V2RHDriver(HybridDriver):
+    """Rollout variant for v2_rh-family models (MLP_v2rh): the wrapper
+    takes the 557-feature v2_rh layout (t, rh, qc, qi, u, v, gases, ps +
+    surface scalars -- varspec.py V2_RH_INPUTS) instead of v4."""
+
+    def __init__(self, wrapper, grid, dyn_forcing=None,
+                 dt: float = physics.DT_TIMESTEP):
+        super().__init__(wrapper, grid, dyn_forcing, dt)
+        self._spec_in = get_varspec("v2_rh")
+
+    def assemble_v4(self, s: ColumnState) -> jnp.ndarray:  # name kept: hook
+        sigma = (jnp.arange(60) + 0.5) / 60.0
+        ps = s.scalars[:, 0]
+        pmid = 20.0 + (ps[:, None] - 20.0) * sigma[None, :] ** 1.5
+        rh = physics.relative_humidity(s.t, s.q1, pmid)
+        b = s.t.shape[0]
+        gases = jnp.broadcast_to(
+            jnp.stack([1e-6 * (1.2 - sigma) ** 2,
+                       jnp.full((60,), 1e-6),
+                       jnp.full((60,), 1e-6)]), (b, 3, 60))
+        profs = [s.t, rh, s.qc, s.qi, s.u, s.v,
+                 gases[:, 0], gases[:, 1], gases[:, 2]]
+        # the first 17 v4 scalars (ps, 6 pbuf fluxes, 10 cam_in) are
+        # exactly the v2_rh scalar block in order
+        scal = s.scalars[:, :17]
+        return jnp.concatenate(
+            [jnp.concatenate([p.reshape(b, 60) for p in profs], axis=1),
+             scal], axis=1)

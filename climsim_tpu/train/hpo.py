@@ -229,3 +229,16 @@ def hyperband(trial_fn: Callable[[dict, int], float], space_sampler,
         results.append((scores[0], configs[0]))
     best = min(results) if mode == "min" else max(results)
     return best[1], best[0]
+
+
+def retrain_best(oracle: DirectoryOracle, build_and_train: Callable,
+                 mode: str = "min"):
+    """Step-2 retraining of the winning trial (the reference's
+    step2_retrain.py flow: read the search results, rebuild the best
+    architecture, train longer with best/last checkpoints + early stop --
+    the caller's build_and_train(hp) encapsulates that loop)."""
+    idx, best = oracle.best(mode)
+    if idx is None:
+        raise RuntimeError("no completed trials to retrain from")
+    hp = oracle.load_trial(idx)
+    return hp, build_and_train(hp)

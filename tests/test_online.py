@@ -155,3 +155,31 @@ def test_online_diagnostics():
     assert stats["mean"] > 0
     d = D.drift(traj, GRID)
     assert np.isfinite(d)
+
+
+def test_v2rh_rollout_and_retrain_best(tmp_path):
+    """v2_rh online rollout path + HPO step-2 retrain flow."""
+    from climsim_tpu.data.synthetic import synthetic_inputs
+    from climsim_tpu.models import OnlineMLP
+    from climsim_tpu.norms import load_asset_norms
+    from climsim_tpu.online.driver import V2RHDriver, initial_state
+    from climsim_tpu.train.hpo import DirectoryOracle, retrain_best
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v2_rh")
+    stats = load_asset_norms("v2_rh")
+    m = OnlineMLP(spec=spec, hidden=(16,))
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, spec.input_len)))
+    wrap = W.make_v2rh_wrapper(lambda pp, x: m.apply(pp, x), stats, spec)
+    drv = V2RHDriver(wrap, GRID)
+    x0 = synthetic_inputs(SPEC4, 8, GRID, 0)
+    _final, traj = drv.rollout(p, initial_state(x0), 3)
+    assert np.isfinite(np.asarray(traj["t"])).all()
+    assert np.asarray(traj["t"]).shape == (3, 8, 60)
+
+    oracle = DirectoryOracle(str(tmp_path / "o"))
+    oracle.publish([{"lr": 0.1}, {"lr": 0.01}])
+    oracle.report(0, 1.0)
+    oracle.report(1, 0.5)
+    hp, res = retrain_best(oracle, lambda hp: ("trained", hp["lr"]))
+    assert hp["lr"] == 0.01 and res[1] == 0.01
