@@ -146,12 +146,13 @@ def online_mlp_trainer(spec, stats, sample_batch, rng, rules=None,
 
 def cnn_trainer(spec, stats, sample_batch, rng, rules=None,
                 steps_per_epoch=1000, cfg=None, depth=12, channels=406,
-                loss_kind="mae", **kw):
+                dropout=0.175, loss_kind="mae", **kw):
     """CNN on the channelized view with the adjusted loss
     (hpo_train.py:114-236)."""
     from ..models import ClimSimCNN
 
-    model = ClimSimCNN(spec=spec, depth=depth, channels=channels)
+    model = ClimSimCNN(spec=spec, depth=depth, channels=channels,
+                       dropout=dropout)
     in_t = T.make_input_transform(spec, stats, cfg)
     tgt_t = T.make_target_transform(spec, stats, cfg)
     sched = schedules.cyclic_triangular2(1e-4, 1e-3, 2 * steps_per_epoch)

@@ -137,3 +137,40 @@ def test_profiling_utils():
         import os
 
         assert os.path.exists(p)
+
+
+def test_every_preset_runs_tiny():
+    """All presets exercise their full recipe path through the runner
+    (catches config<->recipe keyword mismatches)."""
+    from climsim_tpu.run import run_experiment
+
+    common = ["train.epochs=1", "data.num_synthetic=768",
+              "data.batch_size=128", "data.norms=compute",
+              "train.num_data_shards=1", "data.loader=host"]
+    shrink = {
+        "mlp_v1": ["model_kw.hidden=[32]"],
+        "cnn_v1": ["model_kw.depth=1", "model_kw.channels=16"],
+        "ed_v1": ["model_kw.intermediate=32", "model_kw.latent=3"],
+        "hsr_v1": ["model_kw.hidden=32", "model_kw.layers=1"],
+        "rpn_v1": ["model_kw.ensemble_size=2",
+                   "model_kw.hidden=[16,16]"],
+        "cvae_v1": ["model_kw.hidden=32", "model_kw.layers=1",
+                    "model_kw.latent=3"],
+        "mlp_v2rh": ["model_kw.hidden=[32]"],
+        "unet_v4": ["model_kw.model_channels=8",
+                    "model_kw.channel_mult=[1,2]",
+                    "model_kw.num_blocks=1",
+                    "model_kw.attn_resolutions=[32]"],
+        "unet_v5": ["model_kw.model_channels=8",
+                    "model_kw.channel_mult=[1,2]",
+                    "model_kw.num_blocks=1",
+                    "model_kw.attn_resolutions=[32]"],
+        "unet_v5_classifier": ["model_kw.model_channels=8",
+                               "model_kw.channel_mult=[1,2]",
+                               "model_kw.num_blocks=1",
+                               "model_kw.attn_resolutions=[]"],
+    }
+    for name, cfg0 in PRESETS.items():
+        cfg = cfg0.override(*(common + shrink.get(name, [])))
+        out = run_experiment(cfg, verbose=False)
+        assert out is not None, name
