@@ -98,3 +98,32 @@ def cvae_loss(y_mean, y_std, kl, target, beta: float = 0.01):
 
 
 LOSS_FNS = {"mse": mse, "mae": mae, "huber": huber}
+
+
+def water_loss(pred, target, ps, lhflx, hyai, hybi, out_scale,
+               spec: VarSpec):
+    """Column water-budget consistency penalty (companion to energy_loss;
+    spec: demo_notebooks/water_conservation.ipynb -- column-integrated
+    moisture tendency should equal evaporation minus precipitation).
+
+    Penalizes the squared mismatch between prediction and truth of
+      sum_species \\int dq dp / g  +  PRECC * rho_h2o  (E cancels: same
+    LHFLX drives both), in kg/m^2/s.
+    """
+    from ..physics import GRAV, RHO_H2O
+
+    q_vars = [v for v in ("ptend_q0001", "ptend_q0002", "ptend_q0003",
+                          "ptend_qn") if v in spec.output_slices]
+    p_int = P0 * hyai[None, :] + hybi[None, :] * ps[:, None]
+    dp = p_int[:, 1:] - p_int[:, :-1]
+
+    def column_water(y):
+        col = 0.0
+        for v in q_vars:
+            sl = spec.output_slices[v]
+            col = col + jnp.sum((y[:, sl] / out_scale[sl]) * dp, axis=1)
+        sl_p = spec.output_slices["cam_out_PRECC"]
+        precc = y[:, sl_p.start] / out_scale[sl_p.start]
+        return col / GRAV + precc * RHO_H2O
+
+    return jnp.mean((column_water(pred) - column_water(target)) ** 2)

@@ -51,7 +51,8 @@ def _optimizer(schedule, optimizer_name: str = "adam", clip: float | None = None
 def _common(model, spec, stats, cfg, rules, rng, sample_batch,
             loss_kind="mse", block_weights=None, schedule=None,
             optimizer_name="adam", deterministic_loss=False,
-            energy_weight: float = 0.0, grid=None):
+            energy_weight: float = 0.0, water_weight: float = 0.0,
+            grid=None):
     """Wire a deterministic flat-output model (mlp/ed/online mlp)."""
     in_t = T.make_input_transform(spec, stats, cfg)
     tgt_t = T.make_target_transform(spec, stats, cfg)
@@ -59,13 +60,16 @@ def _common(model, spec, stats, cfg, rules, rng, sample_batch,
               if block_weights else None)
     base_loss = losses.LOSS_FNS[loss_kind]
     out_scale = jnp.asarray(stats.out_scale, jnp.float32)
-    if energy_weight > 0.0:
+    if energy_weight > 0.0 or water_weight > 0.0:
         assert grid is not None
         hyai = jnp.asarray(grid.hyai, jnp.float32)
         hybi = jnp.asarray(grid.hybi, jnp.float32)
         ps_i = spec.ps_index
         ps_sub = float(stats.inp_sub[ps_i])
         ps_div = float(stats.inp_div[ps_i])
+        lh_i = spec.input_slices["pbuf_LHFLX"].start
+        lh_sub = float(stats.inp_sub[lh_i])
+        lh_div = float(stats.inp_div[lh_i])
 
     def loss_fn(params, rng_, xb, yb):
         x = in_t(xb)
@@ -76,12 +80,19 @@ def _common(model, spec, stats, cfg, rules, rng, sample_batch,
         pred = model.apply(params, x, **kw)
         loss = base_loss(pred, y, weight)
         aux = {}
-        if energy_weight > 0.0:
+        if energy_weight > 0.0 or water_weight > 0.0:
             ps_raw = x[:, ps_i] * ps_div + ps_sub
+        if energy_weight > 0.0:
             e = losses.energy_loss(pred, y, ps_raw, hyai, hybi,
                                    out_scale, spec)
             aux["energy_loss"] = e
             loss = loss + energy_weight * e
+        if water_weight > 0.0:
+            lh_raw = x[:, lh_i] * lh_div + lh_sub
+            w = losses.water_loss(pred, y, ps_raw, lh_raw, hyai, hybi,
+                                  out_scale, spec)
+            aux["water_loss"] = w
+            loss = loss + water_weight * w
         return loss, aux
 
     params = model.init(rng, in_t(sample_batch[0][:2]))

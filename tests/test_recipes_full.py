@@ -144,3 +144,30 @@ def test_tables_to_dataframe(v1data):
                               tgt, {"m": preds.astype(np.float32)})
     df = tables_to_dataframe(tables)
     assert df.loc[("m", "ptend_t"), "R2"] > 0.5
+
+
+def test_water_loss_penalty(v5data):
+    from climsim_tpu.train import recipes
+
+    spec, x, y, stats = v5data
+    tr = recipes.unet_trainer(
+        spec, stats, (x, y), jax.random.PRNGKey(0), steps_per_epoch=4,
+        energy_weight=1e-12, water_weight=1e-6, grid=GRID,
+        model_kw=dict(model_channels=8, channel_mult=(1, 2), num_blocks=1,
+                      attn_resolutions=()))
+    state, m = tr.train_step(tr.state, x[:16], y[:16])
+    assert "water_loss" in m and "energy_loss" in m
+    assert np.isfinite(float(m["water_loss"]))
+
+    # the penalty is exactly zero when pred == target
+    from climsim_tpu.train import losses as L
+    import jax.numpy as jnp
+
+    yy = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, spec.output_len)).astype(np.float32))
+    ps = jnp.asarray(np.random.default_rng(1).uniform(9e4, 1e5, 8))
+    lh = jnp.asarray(np.random.default_rng(2).uniform(0, 200, 8))
+    w = L.water_loss(yy, yy, ps, lh, jnp.asarray(GRID.hyai),
+                     jnp.asarray(GRID.hybi),
+                     jnp.asarray(stats.out_scale.astype(np.float32)), spec)
+    assert float(w) == 0.0

@@ -178,3 +178,51 @@ def test_device_resident_loader_sharded(data):
     for xb, yb in ld:
         state, m = tr.train_step(state, xb, yb)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_training_determinism(data):
+    """Same seed -> bit-identical training trajectory (the framework's
+    'race detector': any nondeterministic reduction or stateful hazard in
+    the step/pipeline would break this)."""
+    x, y, stats = data
+
+    def run():
+        tr = recipes.ed_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(5),
+                                steps_per_epoch=4)
+        loader = BatchLoader(x[:512], y[:512], 128, seed=5)
+        state = tr.state
+        for xb, yb in loader:
+            state, m = tr.train_step(state, xb, yb)
+        return jax.device_get(state.params), float(m["loss"])
+
+    p1, l1 = run()
+    p2, l2 = run()
+    assert l1 == l2
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resume_from_last_checkpoint(tmp_path, data):
+    """Warm-restart path (restart_path semantics): save last, rebuild the
+    trainer, load, continue -- loss continues from the saved point."""
+    from climsim_tpu.train.checkpoints import (TopKCheckpointer,
+                                               load_pytree)
+
+    x, y, stats = data
+    tr = recipes.ed_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(6),
+                            steps_per_epoch=4)
+    loader = BatchLoader(x[:512], y[:512], 128, seed=6)
+    state = tr.state
+    state, loss0, _ = run_epoch(tr.train_step, state, loader)
+    ck = TopKCheckpointer(str(tmp_path / "ck"))
+    ck.save_last(int(state.step), jax.device_get(state.params))
+
+    # fresh process simulation: new trainer, restore params
+    tr2 = recipes.ed_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(99),
+                             steps_per_epoch=4)
+    restored = load_pytree(str(tmp_path / "ck" / "last.msgpack"),
+                           jax.device_get(tr2.state.params))
+    state2 = tr2.state.replace(params=jax.device_put(restored))
+    state2, loss1, _ = run_epoch(tr2.train_step, state2, loader)
+    # resumed training continues improving from the checkpointed params
+    assert loss1 < loss0
