@@ -87,10 +87,14 @@ def _zero_mask(spec: VarSpec, cfg: TransformConfig) -> np.ndarray:
         for v in ("state_qn", "state_qn_prvphy", "tm_state_qn_prvphy"):
             zero(v, NUM_LEVELS)
     if cfg.aggressive_pruning:
-        # all profiles except temperature/liq_partition lose their
-        # stratosphere; q-like blocks use the (deeper) q prune depth
+        # every state/dyn/prvphy profile except temperature and
+        # liq_partition loses its stratosphere; q-like blocks use the
+        # (deeper) q prune depth.  Trace gases are deliberately NOT pruned
+        # -- their signal lives in the stratosphere
+        # (climsim_datapip.py:114-135 stops at tm_state_u_prvphy).
         for v in spec.input_profile_vars:
-            if v in ("state_t", "liq_partition"):
+            if v in ("state_t", "liq_partition", "pbuf_ozone", "pbuf_CH4",
+                     "pbuf_N2O"):
                 continue
             zero(v, s_q if v in _Q_LIKE else cfg.strato_lev)
         if "cam_in_SNOWHICE" in sl:

@@ -161,3 +161,37 @@ def test_input_transform_matches_manual_v5():
 
     got = np.asarray(f(jnp.asarray(x)))
     np.testing.assert_allclose(got, manual, rtol=2e-4, atol=1e-6)
+
+
+def test_aggressive_pruning_exact_indices():
+    """The aggressive-pruning mask must match climsim_datapip.py:114-135
+    index for index on the v5 layout (incl. NOT pruning trace gases)."""
+    from climsim_tpu.norms import load_asset_norms
+
+    spec = get_varspec("v5")
+    stats = load_asset_norms("v5")
+    cfg = T.TransformConfig(aggressive_pruning=True, strato_lev=15,
+                            strato_lev_qinput=20)
+    f = T.make_input_transform(spec, stats, cfg)
+    x = np.ones((2, spec.input_len), np.float32)
+    out = np.asarray(f(jnp.asarray(x)))
+    zeroed = np.nonzero(out[0] == 0.0)[0]
+
+    want = set()
+    s, sq = 15, 20
+    for start, depth in [(60, sq), (120, sq), (240, s), (300, s),
+                         (360, s), (420, s), (480, s), (540, s), (600, s),
+                         (660, s), (720, s), (780, sq), (840, sq),
+                         (900, s), (960, s), (1020, sq), (1080, sq),
+                         (1140, s)]:
+        want |= set(range(start, start + depth))
+    want.add(spec.input_slices["cam_in_SNOWHICE"].start)  # 1395
+    # normalization can introduce incidental zeros where x==mean; check
+    # that every wanted index is zeroed and no *masked* gas level is
+    got = set(zeroed)
+    assert want <= got
+    gas = set(range(1200, 1380))
+    # allow incidental zeros only where (1 - mean)/div == 0
+    incidental = {i for i in got & gas
+                  if abs(1.0 - stats.inp_sub[i]) < 1e-12}
+    assert (got & gas) == incidental
