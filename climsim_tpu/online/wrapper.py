@@ -184,13 +184,29 @@ def make_fast_mlp_wrapper(model, params, stats: NormStats,
     time; returns fn(x_raw) -> (B, 368)."""
     from ..ops.kernels import fused_mlp_forward, mlp_params_to_matrices
 
+    from ..ops.kernels import fused_mlp_forward_int8, quantize_weights_int8
+
     spec = spec or get_varspec("v2_rh")
     in_t = T.make_input_transform(spec, stats, T.TransformConfig(
         input_clip=True, input_clip_rhonly=True))
     ws, bs = mlp_params_to_matrices(params)
-    ws = [w.astype(weights_dtype) for w in ws]
     n_relu = len(spec.output_scalar_vars)
     out_scale_inv = jnp.asarray(1.0 / stats.out_scale, jnp.float32)
+
+    if weights_dtype == "int8":
+        # weight-only int8: another ~1.4x latency win at the 384-column
+        # coupling batch (weight fetch dominates at small batch)
+        qs, scales = quantize_weights_int8(ws)
+
+        def wrapper(x_raw):
+            y = fused_mlp_forward_int8(
+                in_t(x_raw.astype(jnp.float32)), qs, scales, bs,
+                relu_tail=n_relu)
+            return y * out_scale_inv
+
+        return wrapper
+
+    ws = [w.astype(weights_dtype) for w in ws]
 
     def wrapper(x_raw):
         y = fused_mlp_forward(in_t(x_raw.astype(jnp.float32)), ws, bs,

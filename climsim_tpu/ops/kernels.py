@@ -286,3 +286,84 @@ def mlp_params_to_matrices(params):
             bs[key] = leaf
     keys = sorted(ks)  # Dense_0, Dense_1, ... declaration order
     return [ks[k] for k in keys], [bs[k] for k in keys]
+
+
+# --------------------------------------------------------------------------
+# int8 weight-only quantization for the fused MLP
+# --------------------------------------------------------------------------
+def quantize_weights_int8(weights):
+    """Per-output-channel symmetric int8 quantization.
+
+    Returns (q_weights int8 list, scales f32 list); dequantized weight =
+    q * scale[None, :].  Halves the VMEM footprint vs bf16 (the 4x1024
+    online MLP drops to ~4 MB), at ~1e-3 relative weight error.
+    """
+    qs, scales = [], []
+    for w in weights:
+        w = np.asarray(w, np.float32)
+        s = np.abs(w).max(axis=0) / 127.0
+        s = np.where(s == 0, 1.0, s)
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        qs.append(q)
+        scales.append(s.astype(np.float32))
+    return qs, scales
+
+
+def _mlp_q8_kernel(*refs, n_layers, relu_tail, d_out):
+    x_ref = refs[0]
+    out_ref = refs[-1]
+    wbs = refs[1:-1]  # (w_q, scale, bias) triples
+    h = x_ref[:]
+    for i in range(n_layers):
+        wq, sc, b = wbs[3 * i], wbs[3 * i + 1], wbs[3 * i + 2]
+        w = wq[:].astype(jnp.bfloat16)
+        y = jnp.dot(h.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32)
+        h = y * sc[:] + b[:]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    if relu_tail > 0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        h = jnp.where(lane >= d_out - relu_tail, jnp.maximum(h, 0.0), h)
+    out_ref[:] = h
+
+
+def fused_mlp_forward_int8(x, q_weights, scales, biases,
+                           relu_tail: int = 0, tile_b: int = 256):
+    """fused_mlp_forward with int8 weights dequantized in VMEM.
+
+    Per-channel scales fold into the bias-add; the matmul runs bf16 on the
+    MXU after an in-register dequant.
+    """
+    n = len(q_weights)
+    x = x.astype(jnp.float32)
+    b = x.shape[0]
+    xp, _ = _pad_features(x)
+    operands = [xp]
+    in_specs = [pl.BlockSpec((min(tile_b, b), xp.shape[1]),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    for wq, sc, bias in zip(q_weights, scales, biases):
+        wp = jnp.pad(jnp.asarray(wq),
+                     ((0, (-wq.shape[0]) % LANE), (0, (-wq.shape[1]) % LANE)))
+        scp = jnp.pad(jnp.asarray(sc, jnp.float32),
+                      (0, (-sc.shape[0]) % LANE))[None, :]
+        bp = jnp.pad(jnp.asarray(bias, jnp.float32),
+                     (0, (-bias.shape[0]) % LANE))[None, :]
+        for arr in (wp, scp, bp):
+            in_specs.append(pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(arr)
+    d_out = q_weights[-1].shape[1]
+    d_out_p = d_out + ((-d_out) % LANE)
+    tb = min(tile_b, b)
+    out = pl.pallas_call(
+        partial(_mlp_q8_kernel, n_layers=n, relu_tail=relu_tail,
+                d_out=d_out),
+        out_shape=jax.ShapeDtypeStruct((b, d_out_p), jnp.float32),
+        grid=(pl.cdiv(b, tb),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, d_out_p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(*operands)
+    return out[:, :d_out]

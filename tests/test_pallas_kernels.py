@@ -118,3 +118,24 @@ def test_fast_mlp_wrapper_matches_reference_wrapper():
     want = np.asarray(slow(params, jnp.asarray(x)))
     got = np.asarray(fast(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_int8_fused_mlp_accuracy():
+    """Weight-only int8 kernel stays within quantization error of f32."""
+    rng = np.random.default_rng(0)
+    ws = [rng.normal(size=(124, 256)).astype(np.float32) * 0.1,
+          rng.normal(size=(256, 128)).astype(np.float32) * 0.1]
+    bs = [rng.normal(size=(256,)).astype(np.float32) * 0.01,
+          rng.normal(size=(128,)).astype(np.float32) * 0.01]
+    x = rng.normal(size=(32, 124)).astype(np.float32)
+
+    want = np.maximum(x @ ws[0] + bs[0], 0) @ ws[1] + bs[1]
+    qs, scales = K.quantize_weights_int8(ws)
+    # quantization error bound: scales are per-channel max/127
+    got = np.asarray(K.fused_mlp_forward_int8(
+        jnp.asarray(x), qs, scales, bs, tile_b=16))
+    err = np.abs(got - want) / (np.abs(want).mean() + 1e-6)
+    assert err.mean() < 0.02, err.mean()
+    # and the dequantized weights themselves are close
+    wdq = qs[0].astype(np.float32) * scales[0][None, :]
+    assert np.abs(wdq - ws[0]).max() <= (np.abs(ws[0]).max() / 127) + 1e-6
