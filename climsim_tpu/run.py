@@ -156,10 +156,24 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
                if cfg.train.plateau_patience else None)
     early = (EarlyStopping(cfg.train.early_stop_patience)
              if cfg.train.early_stop_patience else None)
-    state, history = fit(tr.train_step, tr.eval_step, tr.state,
-                         train_loader, val_loader, cfg.train.epochs,
-                         ckpt=ckpt, plateau=plateau, early=early,
-                         verbose=verbose)
+    if cfg.model == "hsr" and cfg.train.epochs >= 3:
+        # staged loss: MSE for the first third, NLL after (hsr.py:128-134)
+        stage1 = cfg.train.epochs // 3
+        state, history = fit(tr.train_step, tr.eval_step, tr.state,
+                             train_loader, val_loader, stage1,
+                             ckpt=ckpt, plateau=plateau, early=early,
+                             verbose=verbose)
+        state, history2 = fit(tr.stage2_step, tr.eval_step, state,
+                              train_loader, val_loader,
+                              cfg.train.epochs - stage1, ckpt=ckpt,
+                              plateau=plateau, early=early,
+                              verbose=verbose)
+        history.rows.extend(history2.rows)
+    else:
+        state, history = fit(tr.train_step, tr.eval_step, tr.state,
+                             train_loader, val_loader, cfg.train.epochs,
+                             ckpt=ckpt, plateau=plateau, early=early,
+                             verbose=verbose)
     return dict(trainer=tr, state=state, history=history, stats=stats,
                 spec=spec, grid=grid)
 
