@@ -45,9 +45,11 @@ def make_shardmap_train_step(loss_fn: Callable, optimizer,
         aux = jax.tree.map(
             lambda a: jax.lax.psum(a, DATA_AXIS) / n_shards, aux)
 
-        grads = jax.tree.map(lambda g: g * state.lr_scale, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        # plateau LR control scales the *updates*: scaling gradients would
+        # be a no-op under Adam (its update is invariant to gradient scale)
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, opt_state=opt_state,
                                   step=state.step + 1, rng=rng)

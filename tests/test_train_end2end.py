@@ -226,3 +226,33 @@ def test_resume_from_last_checkpoint(tmp_path, data):
     state2, loss1, _ = run_epoch(tr2.train_step, state2, loader)
     # resumed training continues improving from the checkpointed params
     assert loss1 < loss0
+
+
+def test_lr_scale_controls_update_magnitude(data):
+    """Plateau lr_scale must actually change the step size under Adam
+    (scaling gradients would be a no-op: Adam is gradient-scale
+    invariant); lr_scale=0 freezes parameters exactly."""
+    import jax.numpy as jnp
+
+    x, y, stats = data
+    tr = recipes.ed_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(8),
+                            steps_per_epoch=4)
+    xb, yb = x[:128], y[:128]
+
+    base = jax.device_get(tr.state)
+
+    def delta(scale):
+        st = jax.tree.map(jnp.array, base)  # fresh buffers (step donates)
+        st = st.replace(lr_scale=jnp.asarray(scale, jnp.float32),
+                        rng=jax.random.PRNGKey(8))
+        st2, _ = tr.train_step(st, xb, yb)
+        return np.concatenate([
+            (np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree.leaves(jax.device_get(st2.params)),
+                            jax.tree.leaves(base.params))])
+
+    d_full = delta(1.0)
+    d_half = delta(0.5)
+    d_zero = delta(0.0)
+    np.testing.assert_allclose(d_half, 0.5 * d_full, rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(d_zero, 0.0)
