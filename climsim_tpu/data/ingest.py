@@ -207,20 +207,31 @@ def process_file_pair(in_path: str, spec: VarSpec,
 def build_split(filelist, spec: VarSpec, save_path: str, split: str,
                 grid: Grid | None = None, stats=None,
                 save_npy: bool = True, save_h5: bool = False,
-                window: bool = False, chunk_files: int = 64):
+                window: bool = False, emit_stride: int = 1,
+                chunk_files: int = 64):
     """Materialize a split to {split}_input.npy / {split}_target.npy.
 
     With stats given, applies training-space normalization on write (the
     reference's normalize=True path, data_utils.py:807-809); inf/nan -> 0.
+
+    window=True computes the expanded v4/v5 features from the two files
+    *immediately* preceding each emitted file -- so pass the UN-strided
+    filelist and use ``emit_stride`` for temporal subsampling (the
+    reference expands features over consecutive timesteps first and
+    strides afterwards: climsim_adding_input.py runs on the full list,
+    the canonical stride applies to the mlexpand files).  Without window,
+    pre-striding the filelist is equivalent.
     """
     os.makedirs(save_path, exist_ok=True)
     xs, ys = [], []
     for i, f in enumerate(filelist):
         wp = None
         if window:
-            if i < 2:
+            if i < 2 or (i - 2) % emit_stride != 0:
                 continue
             wp = (filelist[i - 1], filelist[i - 2])
+        elif i % emit_stride != 0:
+            continue
         x, y = process_file_pair(f, spec, grid, window_paths=wp)
         if stats is not None:
             x = (x - stats.inp_sub) / stats.inp_div

@@ -215,3 +215,25 @@ def test_mlp_trial_sampler():
     assert 2 <= len(hp["hidden"]) <= 12
     assert all(128 <= u <= 1024 and u % 128 == 0 for u in hp["hidden"])
     assert hp["activation"] in ("relu", "elu", "leakyrelu")
+
+
+def test_build_split_window_stride_uses_adjacent_neighbors(ncdir, tmp_path):
+    """With emit_stride, windowed features must still come from the two
+    *adjacent* timesteps, not strided neighbors (the reference expands
+    over consecutive files, then strides)."""
+    spec = get_varspec("v5")
+    fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=1)
+    out = ingest.build_split(fl, spec, str(tmp_path), "train", window=True,
+                             emit_stride=3)
+    x = np.load(out["input"])
+    # emitted files: indices 2 and 5 -> 2 timesteps x NCOL samples
+    assert x.shape[0] == 2 * NCOL
+
+    from climsim_tpu.utils.ncread import read_netcdf
+
+    # second emitted block is file 5 with neighbors 4 and 3
+    mli5 = read_netcdf(fl[5])
+    mlo4 = read_netcdf(fl[4].replace(".mli.", ".mlo."))
+    want = ((mli5["state_t"] - mlo4["state_t"]) / 1200.0).T
+    sl = spec.input_slices["state_t_dyn"]
+    np.testing.assert_allclose(x[NCOL:, sl], want, rtol=1e-4)
