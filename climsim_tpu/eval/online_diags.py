@@ -99,3 +99,20 @@ def microphysics_checks(traj_qn: np.ndarray, traj_t: np.ndarray,
     if precc is not None:
         out["frac_negative_precc"] = float((precc < 0).mean())
     return out
+
+
+def ensemble_noise_floor(member_trajs, grid: Grid, ps=1.0e5) -> float:
+    """Irreducible-noise floor from a reference ensemble: mean pairwise
+    weighted RMSE between perturbed-seed reference runs (the reference
+    compares online model error against 3 perturbed MMF members --
+    monthly-online-rmse notebooks).  A model whose RMSE vs the ensemble
+    mean sits at this floor is indistinguishable from internal variability.
+    """
+    import itertools
+
+    pairs = list(itertools.combinations(range(len(member_trajs)), 2))
+    if not pairs:
+        return 0.0
+    vals = [weighted_rmse(member_trajs[i], member_trajs[j], grid, ps)
+            for i, j in pairs]
+    return float(np.mean(vals))

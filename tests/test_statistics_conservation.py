@@ -115,3 +115,37 @@ def test_wrapper_rollout_water_budget():
     frac = qc_new / denom
     mask = (qc_new + qi_new) > 1e-12
     np.testing.assert_allclose(frac[mask], liq[mask], atol=1e-3)
+
+
+def test_high_res_scale_weighting():
+    """The metric engine handles the high-res 21,600-column grid shape
+    (website/dataset.md:10-12) without per-column Python work."""
+    from climsim_tpu.eval.weighting import weight_outputs
+    from climsim_tpu.grid import synthetic_grid
+
+    grid_hr = synthetic_grid(ncol=21_600, seed=1)
+    spec = get_varspec("v1")
+    rng = np.random.default_rng(0)
+    t = 2
+    out = rng.normal(size=(t * grid_hr.ncol, spec.output_len)
+                     ).astype(np.float32)
+    dp = np.abs(rng.normal(size=(t * grid_hr.ncol, 60))) + 1.0
+    w = weight_outputs(out, spec, grid_hr, dp, stats=None)
+    assert w["ptend_t"].shape == (t, 21_600, 60)
+    assert np.isfinite(w["ptend_t"]).all()
+
+
+def test_ensemble_noise_floor():
+    from climsim_tpu.eval.online_diags import (ensemble_noise_floor,
+                                               weighted_rmse)
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(6, GRID.ncol, 60))
+    members = [base + 0.1 * rng.normal(size=base.shape) for _ in range(3)]
+    floor = ensemble_noise_floor(members, GRID)
+    # pairwise RMSE of iid 0.1-noise members ~ 0.1*sqrt(2)
+    assert 0.1 < floor < 0.2
+    # a 'model' with matching noise level sits at the floor
+    model = base + 0.1 * rng.normal(size=base.shape)
+    r = weighted_rmse(model, members[0], GRID)
+    assert abs(r - floor) < 0.05
