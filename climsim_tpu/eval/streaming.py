@@ -78,9 +78,11 @@ class StreamingScorer:
         self.stats = stats
         self.inputs_normalized = inputs_normalized
         self._accs: dict[str, dict[str, _Acc]] = {}
+        self._crps: dict[str, dict[str, list]] = {}
 
     def update(self, inputs: np.ndarray, target: np.ndarray,
-               preds: dict[str, np.ndarray]):
+               preds: dict[str, np.ndarray],
+               samplepreds: dict[str, np.ndarray] | None = None):
         assert inputs.shape[0] % self.grid.ncol == 0, \
             "chunks must contain whole timesteps"
         dp = pressure_thickness_from_inputs(
@@ -94,7 +96,31 @@ class StreamingScorer:
             accs = self._accs.setdefault(name, {})
             for v, t_arr in tw.items():
                 accs.setdefault(v, _Acc()).update(pw[v], t_arr)
+        if samplepreds:
+            from .metrics import crps
+            from .weighting import weight_outputs_sampled
+
+            for name, sp in samplepreds.items():
+                sw = weight_outputs_sampled(
+                    sp.astype(np.float64), self.spec, self.grid, dp,
+                    self.stats)
+                store = self._crps.setdefault(name, {})
+                for v, s_arr in sw.items():
+                    # CRPS is a per-(time, grid[, level]) quantity meaned
+                    # over time -> accumulate chunk time-sums exactly
+                    c = crps(s_arr, tw[v], avg_grid=False)
+                    t_chunk = s_arr.shape[0]
+                    if v in store:
+                        store[v][0] += c * t_chunk
+                        store[v][1] += t_chunk
+                    else:
+                        store[v] = [c * t_chunk, t_chunk]
 
     def tables(self) -> dict:
-        return {name: {v: acc.finalize() for v, acc in accs.items()}
-                for name, accs in self._accs.items()}
+        out = {name: {v: acc.finalize() for v, acc in accs.items()}
+               for name, accs in self._accs.items()}
+        for name, store in self._crps.items():
+            for v, (csum, t_total) in store.items():
+                out.setdefault(name, {}).setdefault(v, {})["CRPS"] = float(
+                    np.mean((csum / t_total).mean(axis=0)))
+        return out

@@ -162,3 +162,30 @@ def test_streaming_scorer_matches_in_memory(grid384, rng):
         for m in ("MAE", "RMSE", "R2", "bias"):
             np.testing.assert_allclose(got["m"][v][m], want["m"][v][m],
                                        rtol=1e-10, err_msg=f"{v}/{m}")
+
+
+def test_streaming_crps_matches_in_memory(grid384, rng):
+    from climsim_tpu.eval.scoring import offline_score
+    from climsim_tpu.eval.streaming import StreamingScorer
+
+    spec = get_varspec("v1")
+    stats = load_asset_norms("v1")
+    t, s_n = 4, 6
+    n = t * grid384.ncol
+    inputs = rng.normal(size=(n, spec.input_len))
+    target = rng.normal(size=(n, spec.output_len))
+    pred = target + 0.3 * rng.normal(size=target.shape)
+    samples = pred[..., None] + 0.2 * rng.normal(
+        size=(n, spec.output_len, s_n))
+
+    want, _ = offline_score(spec, grid384, stats, inputs, target,
+                            {"m": pred}, {"m": samples})
+    sc = StreamingScorer(spec, grid384, stats)
+    chunk = 2 * grid384.ncol
+    for s in range(0, n, chunk):
+        sc.update(inputs[s:s + chunk], target[s:s + chunk],
+                  {"m": pred[s:s + chunk]}, {"m": samples[s:s + chunk]})
+    got = sc.tables()
+    for v in spec.outputs:
+        np.testing.assert_allclose(got["m"][v]["CRPS"],
+                                   want["m"][v]["CRPS"], rtol=1e-10, err_msg=v)
