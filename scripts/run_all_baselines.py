@@ -139,4 +139,6 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    main(epochs=int(_sys.argv[1]) if len(_sys.argv) > 1 else 12)
