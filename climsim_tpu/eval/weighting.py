@@ -59,6 +59,18 @@ def weight_outputs(output, spec: VarSpec, grid: Grid, dp,
 
     out = {}
     sl = spec.output_slices
+
+    # wind-speed tendency for the u/v energy conversion.  NOTE the reference
+    # quirk: data_utils.py:1162-1163 computes sqrt(du^2 + dv^2) from the
+    # still-SCALED outputs (the reshape block precedes the unscale at :1184),
+    # so the conversion factor depends on the normalization.  Replicated
+    # exactly -- the published metric tables were produced this way.
+    wind_conv = None
+    if "ptend_u" in sl and "ptend_v" in sl:
+        du = output[:, sl["ptend_u"]].reshape(t, ncol, -1)
+        dv = output[:, sl["ptend_v"]].reshape(t, ncol, -1)
+        wind_conv = xp.sqrt(du**2 + dv**2)
+
     # [0] undo scaling on the flat layout in one shot
     if stats is not None:
         output = output / stats.out_scale[None, :]
@@ -66,15 +78,6 @@ def weight_outputs(output, spec: VarSpec, grid: Grid, dp,
     area = grid.area_wgt  # (ncol,)
     if dp is not None:
         dp3 = dp.reshape(t, ncol, -1)
-
-    # wind-speed tendency for the u/v energy conversion
-    # (data_utils.py:1162-1163: sqrt(du^2 + dv^2) *after* unscaling, before
-    # dp/area weighting)
-    wind_conv = None
-    if "ptend_u" in sl and "ptend_v" in sl:
-        du = output[:, sl["ptend_u"]].reshape(t, ncol, -1)
-        dv = output[:, sl["ptend_v"]].reshape(t, ncol, -1)
-        wind_conv = xp.sqrt(du**2 + dv**2)
 
     for v in spec.outputs:
         block = output[:, sl[v]]

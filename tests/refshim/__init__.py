@@ -1,0 +1,53 @@
+"""Loader that executes the reference data_utils as a golden test oracle.
+
+Installs the xrmini shim as `xarray` (plus stub `netCDF4` / `tensorflow`
+modules) and imports /root/reference/climsim_utils/data_utils.py by path,
+WITHOUT copying any reference code into this repo.  Used only by the
+golden-parity tests; returns None when the reference tree is absent so
+those tests skip cleanly elsewhere.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+REFERENCE_DATA_UTILS = "/root/reference/climsim_utils/data_utils.py"
+
+_cached = None
+
+
+def load_data_utils():
+    """Import the reference data_utils module under the shim, once."""
+    global _cached
+    if _cached is not None:
+        return _cached
+    if not os.path.exists(REFERENCE_DATA_UTILS):
+        return None
+
+    from . import xrmini
+
+    saved = {}
+    stubs = {"xarray": xrmini, "netCDF4": types.ModuleType("netCDF4")}
+    # a stub tensorflow avoids a ~10 s import; the tests use the pytorch
+    # backend so data_utils never touches tf attributes
+    if "tensorflow" not in sys.modules:
+        stubs["tensorflow"] = types.ModuleType("tensorflow")
+    for name, mod in stubs.items():
+        saved[name] = sys.modules.get(name)
+        sys.modules[name] = mod
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_reference_data_utils", REFERENCE_DATA_UTILS)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+    finally:
+        for name, prev in saved.items():
+            if prev is None:
+                del sys.modules[name]
+            else:
+                sys.modules[name] = prev
+    _cached = module
+    return module

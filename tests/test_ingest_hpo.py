@@ -9,96 +9,15 @@ from climsim_tpu.data import ingest
 from climsim_tpu.grid import synthetic_grid
 from climsim_tpu.varspec import get_varspec
 
-NCOL = 24
-LEV = 60
-
-
-def write_nc(path, vars2d, vars1d):
-    """Write an E3SM-like netCDF (CDF-1 via scipy) with (lev, ncol) dims."""
-    from scipy.io import netcdf_file
-
-    f = netcdf_file(path, "w")
-    f.createDimension("lev", LEV)
-    f.createDimension("ncol", NCOL)
-    for name, arr in vars2d.items():
-        v = f.createVariable(name, "f8", ("lev", "ncol"))
-        v[:] = arr
-    for name, arr in vars1d.items():
-        v = f.createVariable(name, "f8", ("ncol",))
-        v[:] = arr
-    f.flush()
-    f.close()
+from synthnc import LEV, NCOL, make_tree
 
 
 @pytest.fixture(scope="module")
 def ncdir(tmp_path_factory):
     """A tiny 6-timestep mli/mlo tree with plausible physics."""
-    rng = np.random.default_rng(0)
     root = tmp_path_factory.mktemp("ncdata") / "0001-02"
-    root.mkdir()
     grid = synthetic_grid(ncol=NCOL)
-    lev_frac = (np.arange(LEV) + 0.5) / LEV
-    states = []
-    for t in range(6):
-        t2d = {
-            "state_t": 300 - 90 * (1 - lev_frac)[:, None]
-            + 2 * rng.standard_normal((LEV, NCOL)),
-            "state_q0001": np.abs(1e-2 * lev_frac[:, None]**3
-                                  + 1e-5 * rng.random((LEV, NCOL))),
-            "state_q0002": np.abs(1e-5 * rng.random((LEV, NCOL))),
-            "state_q0003": np.abs(1e-5 * rng.random((LEV, NCOL))),
-            "state_u": 10 * rng.standard_normal((LEV, NCOL)),
-            "state_v": 10 * rng.standard_normal((LEV, NCOL)),
-            "state_pmid": 1e5 * lev_frac[:, None] ** 1.2
-            * np.ones((LEV, NCOL)),
-            "pbuf_ozone": np.abs(1e-6 * rng.random((LEV, NCOL))),
-            "pbuf_CH4": np.abs(1e-6 * rng.random((LEV, NCOL))),
-            "pbuf_N2O": np.abs(1e-6 * rng.random((LEV, NCOL))),
-        }
-        t1d = {
-            "state_ps": 9e4 + 1e4 * rng.random(NCOL),
-            "pbuf_SOLIN": 1000 * rng.random(NCOL),
-            "pbuf_LHFLX": 100 * rng.random(NCOL),
-            "pbuf_SHFLX": 30 * rng.random(NCOL),
-            "pbuf_TAUX": 0.1 * rng.standard_normal(NCOL),
-            "pbuf_TAUY": 0.1 * rng.standard_normal(NCOL),
-            "pbuf_COSZRS": rng.random(NCOL),
-            "cam_in_ALDIF": rng.random(NCOL),
-            "cam_in_ALDIR": rng.random(NCOL),
-            "cam_in_ASDIF": rng.random(NCOL),
-            "cam_in_ASDIR": rng.random(NCOL),
-            "cam_in_LWUP": 300 + 50 * rng.random(NCOL),
-            "cam_in_ICEFRAC": rng.random(NCOL),
-            "cam_in_LANDFRAC": rng.random(NCOL),
-            "cam_in_OCNFRAC": rng.random(NCOL),
-            "cam_in_SNOWHICE": 0.1 * rng.random(NCOL),
-            "cam_in_SNOWHLAND": 0.1 * rng.random(NCOL),
-            "lat": grid.lat[:NCOL],
-            "lon": grid.lon[:NCOL],
-        }
-        states.append((t2d, t1d))
-
-    for t, (t2d, t1d) in enumerate(states):
-        stamp = f"0001-02-01-{t * 1200:05d}"
-        write_nc(str(root / f"E3SM-MMF.mli.{stamp}.nc"), t2d, t1d)
-        # mlo: input advanced by a small "physics" increment
-        o2d = {k: v + (1e-3 * np.abs(v) if k.startswith("state") else 0)
-               for k, v in t2d.items()}
-        o1d = {("cam_out_" + k.split("_", 2)[-1] if False else k): v
-               for k, v in t1d.items()}
-        out1d = {
-            "cam_out_NETSW": 200 * np.random.default_rng(t).random(NCOL),
-            "cam_out_FLWDS": 300 * np.random.default_rng(t + 1).random(NCOL),
-            "cam_out_PRECSC": 1e-8 * np.random.default_rng(t + 2).random(NCOL),
-            "cam_out_PRECC": 1e-7 * np.random.default_rng(t + 3).random(NCOL),
-            "cam_out_SOLS": 100 * np.random.default_rng(t + 4).random(NCOL),
-            "cam_out_SOLL": 100 * np.random.default_rng(t + 5).random(NCOL),
-            "cam_out_SOLSD": 50 * np.random.default_rng(t + 6).random(NCOL),
-            "cam_out_SOLLD": 50 * np.random.default_rng(t + 7).random(NCOL),
-            "lat": grid.lat[:NCOL], "lon": grid.lon[:NCOL],
-        }
-        write_nc(str(root / f"E3SM-MMF.mlo.{stamp}.nc"), o2d, out1d)
-    return str(root.parent)
+    return make_tree(root, grid, nsteps=6, seed=0)
 
 
 def test_filelist_stride(ncdir):

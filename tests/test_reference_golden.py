@@ -1,0 +1,306 @@
+"""Golden-parity tests: execute the REFERENCE data_utils as the oracle.
+
+The reference implementation (/root/reference/climsim_utils/data_utils.py)
+runs unmodified under the tests/refshim mini-xarray, on the same synthetic
+nc tree and the reference's own real normalization nc files, and every
+stage of this repo's pipeline is asserted equal to its output:
+
+  ingest (raw + normalized)  vs data_utils.save_as_npy        :791-944
+  RH derivation (v2_rh)      vs get_xrdata eliq/eice          :619-676
+  pressure grid / dp         vs set_pressure_grid             :1037-1086
+  output weighting           vs output_weighting              :1112-1362
+  MAE/RMSE/R2/bias tables    vs create_metrics_df             :1432-1607
+  CRPS                       vs calc_CRPS                     :1499-1524
+
+This is the dual-implementation oracle pattern the reference itself uses
+(tests/unit_tests.ipynb, testing_data_utils_with_backends.py) -- but
+against the reference itself rather than a second hand-derivation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from refshim import load_data_utils
+from refshim import xrmini as xr
+from synthnc import NCOL, make_tree
+
+from climsim_tpu.data import ingest
+from climsim_tpu.data.transforms import make_input_transform, \
+    make_target_transform
+from climsim_tpu.eval import metrics as own_metrics
+from climsim_tpu.eval.weighting import pressure_thickness_from_inputs, \
+    weight_outputs
+from climsim_tpu.grid import synthetic_grid
+from climsim_tpu.norms import NormStats, load_asset_norms
+from climsim_tpu.varspec import get_varspec
+
+REF_NORMS = "/root/reference/preprocessing/normalizations"
+
+refmod = load_data_utils()
+pytestmark = pytest.mark.skipif(
+    refmod is None, reason="reference tree not available")
+
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def grid():
+    return synthetic_grid(ncol=NCOL)
+
+
+@pytest.fixture(scope="module")
+def ncdir(tmp_path_factory, grid):
+    root = tmp_path_factory.mktemp("goldnc") / "0001-02"
+    return make_tree(root, grid, nsteps=6, seed=0)
+
+
+def grid_dataset(grid):
+    """Shim Dataset equivalent of grid_info/ClimSim_low-res_grid-info.nc."""
+    ds = xr.Dataset()
+    ds["lev"] = xr.DataArray(np.arange(60.0), ("lev",))
+    ds["ncol"] = xr.DataArray(np.arange(grid.ncol, dtype=float), ("ncol",))
+    ds["lat"] = xr.DataArray(grid.lat, ("ncol",))
+    ds["lon"] = xr.DataArray(grid.lon, ("ncol",))
+    ds["area"] = xr.DataArray(grid.area, ("ncol",))
+    ds["hyai"] = xr.DataArray(grid.hyai, ("ilev",))
+    ds["hybi"] = xr.DataArray(grid.hybi, ("ilev",))
+    ds["hyam"] = xr.DataArray(grid.hyam, ("lev",))
+    ds["hybm"] = xr.DataArray(grid.hybm, ("lev",))
+    ds["P0"] = xr.DataArray(np.float64(grid.p0), ())
+    return ds
+
+
+@pytest.fixture(scope="module")
+def norm_datasets():
+    mean = xr.open_dataset(f"{REF_NORMS}/inputs/input_mean.nc")
+    maxx = xr.open_dataset(f"{REF_NORMS}/inputs/input_max.nc")
+    minn = xr.open_dataset(f"{REF_NORMS}/inputs/input_min.nc")
+    scale = xr.open_dataset(f"{REF_NORMS}/outputs/output_scale.nc")
+    return mean, maxx, minn, scale
+
+
+def make_ref(grid, norm_datasets, normalize):
+    mean, maxx, minn, scale = norm_datasets
+    return refmod.data_utils(
+        grid_info=grid_dataset(grid), input_mean=mean, input_max=maxx,
+        input_min=minn, output_scale=scale, ml_backend="pytorch",
+        normalize=normalize)
+
+
+def ref_split_arrays(du, ncdir, version, tmp, normalize_tag):
+    """Run the reference save_as_npy flow, return (filelist, x, y)."""
+    getattr(du, f"set_to_{version}_vars")()
+    du.data_path = ncdir + "/"
+    du.set_regexps("train", ["E3SM-MMF.mli.*.nc"])
+    du.set_stride_sample("train", 1)
+    du.set_filelist("train")  # note: default end_idx=-1 drops the last file
+    out = os.path.join(tmp, f"ref_{version}_{normalize_tag}")
+    du.save_as_npy("train", save_path=out)
+    x = np.load(os.path.join(out, "train_input.npy"))
+    y = np.load(os.path.join(out, "train_target.npy"))
+    return list(du.train_filelist), x, y
+
+
+# --------------------------------------------------------------------------
+# shim sanity: the oracle harness itself reads files correctly
+# --------------------------------------------------------------------------
+
+def test_shim_reads_classic_and_hdf5(ncdir):
+    files = sorted(os.listdir(os.path.join(ncdir, "0001-02")))
+    ds = xr.open_dataset(os.path.join(ncdir, "0001-02", files[0]))
+    assert ds["state_t"].dims == ("lev", "ncol")
+    assert ds["state_t"].shape == (60, NCOL)
+    assert ds["state_ps"].dims == ("ncol",)
+
+    mean = xr.open_dataset(f"{REF_NORMS}/inputs/input_mean.nc")
+    assert mean["state_t"].dims == ("lev",)
+    assert mean["state_ps"].dims == ()
+    # dim-name broadcasting: (lev,ncol) - (lev,) must align on lev
+    d = ds["state_t"] - mean["state_t"]
+    want = ds["state_t"].values - mean["state_t"].values[:, None]
+    np.testing.assert_array_equal(d.values, want)
+
+
+# --------------------------------------------------------------------------
+# ingest parity
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("version", ["v1", "v2_rh", "v2"])
+def test_ingest_parity_raw(ncdir, grid, norm_datasets, tmp_path, version):
+    """Raw (normalize=False) shards: ours == reference, incl. RH derivation."""
+    du = make_ref(grid, norm_datasets, normalize=False)
+    filelist, ref_x, ref_y = ref_split_arrays(
+        du, ncdir, version, str(tmp_path), "raw")
+    assert len(filelist) == 5  # end_idx=-1 drops the final file
+
+    spec = get_varspec(version)
+    out = ingest.build_split(filelist, spec, str(tmp_path / "own"), "train",
+                             grid=grid)
+    own_x = np.load(out["input"])
+    own_y = np.load(out["target"])
+    assert ref_x.shape == own_x.shape == (5 * NCOL, spec.input_len)
+    assert ref_y.shape == own_y.shape == (5 * NCOL, spec.output_len)
+    np.testing.assert_allclose(own_x, ref_x, rtol=1e-6, atol=0)
+    np.testing.assert_allclose(own_y, ref_y, rtol=1e-6, atol=1e-30)
+
+
+def test_ingest_parity_normalized(ncdir, grid, norm_datasets, tmp_path):
+    """Normalized (v1) shards: reference normalize=True vs our in-jit
+    transform on raw shards AND our build_split(stats=...) path."""
+    du = make_ref(grid, norm_datasets, normalize=True)
+    filelist, ref_x, ref_y = ref_split_arrays(
+        du, ncdir, "v1", str(tmp_path), "norm")
+
+    spec = get_varspec("v1")
+    mean, maxx, minn, scale = norm_datasets
+    stats = NormStats.from_var_datasets(
+        spec,
+        {k: v.values for k, v in mean.data_vars.items()},
+        {k: v.values for k, v in maxx.data_vars.items()},
+        {k: v.values for k, v in minn.data_vars.items()},
+        {k: v.values for k, v in scale.data_vars.items()})
+
+    # the committed npz assets must equal the reference norm files
+    asset = load_asset_norms("v1")
+    np.testing.assert_allclose(asset.inp_sub, stats.inp_sub, rtol=1e-12)
+    np.testing.assert_allclose(asset.inp_div, stats.inp_div, rtol=1e-12)
+    np.testing.assert_allclose(asset.out_scale, stats.out_scale, rtol=1e-12)
+
+    # leg 1: shard-time normalization (f64, like the reference)
+    out = ingest.build_split(filelist, spec, str(tmp_path / "own"), "train",
+                             grid=grid, stats=stats)
+    np.testing.assert_allclose(np.load(out["input"]), ref_x,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.load(out["target"]), ref_y,
+                               rtol=1e-6, atol=1e-30)
+
+    # leg 2: the in-jit f32 transform on raw shards
+    raw = ingest.build_split(filelist, spec, str(tmp_path / "raw"), "train",
+                             grid=grid)
+    in_t = make_input_transform(spec, stats)
+    tgt_t = make_target_transform(spec, stats)
+    np.testing.assert_allclose(np.asarray(in_t(np.load(raw["input"]))),
+                               ref_x, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt_t(np.load(raw["target"]))),
+                               ref_y, rtol=2e-4, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# pressure grid / weighting / metrics parity
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def scored_v1(ncdir, grid, norm_datasets, tmp_path_factory):
+    """Reference du with normalized v1 train split loaded + preds."""
+    tmp = str(tmp_path_factory.mktemp("score"))
+    du = make_ref(grid, norm_datasets, normalize=True)
+    filelist, x, y = ref_split_arrays(du, ncdir, "v1", tmp, "norm")
+    du.input_train = x
+    du.target_train = y
+    rng = np.random.default_rng(7)
+    preds = (y + 0.1 * rng.standard_normal(y.shape)).astype(np.float32)
+    du.model_names = ["m"]
+    du.preds_train = {"m": preds}
+    return du, x, y, preds
+
+
+def test_pressure_grid_parity(scored_v1, grid, norm_datasets):
+    du, x, y, preds = scored_v1
+    du.set_pressure_grid("train")
+    spec = get_varspec("v1")
+    mean, maxx, minn, scale = norm_datasets
+    stats = NormStats.from_var_datasets(
+        spec, {k: v.values for k, v in mean.data_vars.items()},
+        {k: v.values for k, v in maxx.data_vars.items()},
+        {k: v.values for k, v in minn.data_vars.items()},
+        {k: v.values for k, v in scale.data_vars.items()})
+    dp = pressure_thickness_from_inputs(
+        x.astype(np.float64), spec, grid, stats)
+    t = x.shape[0] // NCOL
+    np.testing.assert_allclose(dp.reshape(t, NCOL, 60), du.dp_train,
+                               rtol=1e-6)
+
+
+def test_weighting_and_metrics_parity(scored_v1, grid, norm_datasets):
+    du, x, y, preds = scored_v1
+    du.set_pressure_grid("train")
+    du.reweight_target("train")
+    du.reweight_preds("train")
+    du.metrics_names = ["MAE", "RMSE", "R2", "bias"]
+    du.create_metrics_df("train")
+
+    spec = get_varspec("v1")
+    mean, maxx, minn, scale = norm_datasets
+    stats = NormStats.from_var_datasets(
+        spec, {k: v.values for k, v in mean.data_vars.items()},
+        {k: v.values for k, v in maxx.data_vars.items()},
+        {k: v.values for k, v in minn.data_vars.items()},
+        {k: v.values for k, v in scale.data_vars.items()})
+    dp = pressure_thickness_from_inputs(
+        x.astype(np.float64), spec, grid, stats)
+    tw = weight_outputs(y.astype(np.float64), spec, grid, dp, stats)
+    pw = weight_outputs(preds.astype(np.float64), spec, grid, dp, stats)
+
+    for v in spec.outputs:
+        np.testing.assert_allclose(
+            tw[v], du.target_weighted_train[v], rtol=1e-6,
+            err_msg=f"target weighting mismatch for {v}")
+        np.testing.assert_allclose(
+            pw[v], du.preds_weighted_train["m"][v], rtol=1e-6,
+            err_msg=f"pred weighting mismatch for {v}")
+
+    ref_df = du.metrics_var_train["m"]
+    own = own_metrics.metrics_table(
+        pw, tw, ("MAE", "RMSE", "R2", "bias"))
+    for v in spec.outputs:
+        for m in ("MAE", "RMSE", "R2", "bias"):
+            np.testing.assert_allclose(
+                own[v][m], float(ref_df.loc[v, m]), rtol=1e-6,
+                err_msg=f"{m}({v})")
+
+
+def test_weighting_parity_v2_full_vars(ncdir, grid, norm_datasets, tmp_path):
+    """full_vars path: wind-speed energy conversion for ptend_u/v."""
+    du = make_ref(grid, norm_datasets, normalize=True)
+    filelist, x, y = ref_split_arrays(du, ncdir, "v2", str(tmp_path), "norm")
+    du.input_train = x
+    du.target_train = y
+    du.set_pressure_grid("train")
+    du.reweight_target("train")
+
+    spec = get_varspec("v2")
+    mean, maxx, minn, scale = norm_datasets
+    stats = NormStats.from_var_datasets(
+        spec, {k: v.values for k, v in mean.data_vars.items()},
+        {k: v.values for k, v in maxx.data_vars.items()},
+        {k: v.values for k, v in minn.data_vars.items()},
+        {k: v.values for k, v in scale.data_vars.items()})
+    dp = pressure_thickness_from_inputs(
+        x.astype(np.float64), spec, grid, stats)
+    tw = weight_outputs(y.astype(np.float64), spec, grid, dp, stats)
+    for v in spec.outputs:
+        np.testing.assert_allclose(
+            tw[v], du.target_weighted_train[v], rtol=1e-6, atol=1e-25,
+            err_msg=f"v2 weighting mismatch for {v}")
+
+
+def test_crps_parity(scored_v1, grid):
+    du, x, y, preds = scored_v1
+    rng = np.random.default_rng(3)
+    t = y.shape[0] // NCOL
+    # profile-shaped samples (T, ncol, lev, S) and scalar (T, ncol, S)
+    prof_t = y[:, :60].reshape(t, NCOL, 60)
+    prof_s = prof_t[..., None] + 0.3 * rng.standard_normal(
+        (t, NCOL, 60, 8))
+    ref = du.calc_CRPS(prof_s, prof_t)
+    own = own_metrics.crps(prof_s, prof_t)
+    np.testing.assert_allclose(own, ref, rtol=1e-9)
+
+    sc_t = y[:, 120].reshape(t, NCOL)
+    sc_s = sc_t[..., None] + 0.3 * rng.standard_normal((t, NCOL, 8))
+    np.testing.assert_allclose(own_metrics.crps(sc_s, sc_t),
+                               du.calc_CRPS(sc_s, sc_t), rtol=1e-9)
