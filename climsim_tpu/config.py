@@ -108,6 +108,11 @@ PRESETS: dict[str, ExperimentConfig] = {
                       train_kw=dict(loss="mae", schedule="cyclic",
                                     epochs=15),
                       data_kw=dict(batch_size=512)),
+    "mlp_v2": _preset("mlp_v2", "v2",
+                      model_kw=dict(hidden=(768, 640, 512, 640, 640)),
+                      train_kw=dict(loss="mse", schedule="cyclic",
+                                    epochs=18),
+                      data_kw=dict(batch_size=3072)),
     "ed_v1": _preset("ed", "v1",
                      model_kw=dict(intermediate=463, latent=5),
                      train_kw=dict(loss="mse", schedule="step", lr=1e-4,

@@ -50,7 +50,19 @@ class BatchLoader:
     def __init__(self, inputs: np.ndarray, targets: np.ndarray,
                  batch_size: int, rules: ShardingRules | None = None,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 2,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
+        """batch_size is always the GLOBAL batch size.
+
+        Multi-host: every process constructs the loader with the same seed
+        (identical epoch permutations -- the DistributedSampler contract,
+        train_unet_h5loader.py:132-140) and gathers only its
+        1/process_count slice of each global batch; the global array is
+        assembled with jax.make_array_from_process_local_data, so no batch
+        data ever crosses hosts.  inputs/targets may be mmapped .npy --
+        only the local rows are touched.
+        """
         assert inputs.shape[0] == targets.shape[0]
         self.inputs = inputs
         self.targets = targets
@@ -60,6 +72,23 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.plan = EpochPlan(inputs.shape[0], batch_size, drop_remainder)
+        self.pidx = (jax.process_index() if process_index is None
+                     else process_index)
+        self.pcount = (jax.process_count() if process_count is None
+                       else process_count)
+        if self.pcount > 1:
+            assert rules is not None, \
+                "multi-process loading needs ShardingRules"
+            assert batch_size % self.pcount == 0, \
+                (batch_size, self.pcount)
+
+    def local_indices(self, global_batch_idx: np.ndarray) -> np.ndarray:
+        """The rows of a global batch this process contributes: contiguous
+        slice pidx of pcount (matches the data-axis device order of
+        make_mesh, where consecutive devices belong to consecutive
+        processes)."""
+        per = len(global_batch_idx) // self.pcount
+        return global_batch_idx[self.pidx * per:(self.pidx + 1) * per]
 
     @property
     def steps_per_epoch(self) -> int:
@@ -74,10 +103,15 @@ class BatchLoader:
     def _produce(self, q: queue.Queue):
         try:
             for idx in self._index_stream():
-                xb = self.inputs[idx]
-                yb = self.targets[idx]
-                if self.rules is not None:
-                    xb, yb = self.rules.shard_batch(xb, yb)
+                if self.pcount > 1:
+                    loc = self.local_indices(idx)
+                    xb, yb = self.rules.shard_batch_local(
+                        self.inputs[loc], self.targets[loc])
+                else:
+                    xb = self.inputs[idx]
+                    yb = self.targets[idx]
+                    if self.rules is not None:
+                        xb, yb = self.rules.shard_batch(xb, yb)
                 q.put((xb, yb))
         finally:
             q.put(None)

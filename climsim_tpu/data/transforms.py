@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -249,6 +250,11 @@ def make_subset_transform(indices: np.ndarray):
     idx = jnp.asarray(indices)
 
     def transform(x):
-        return x[:, idx]
+        out = x[:, idx]
+        # the barrier stops XLA:CPU from fusing this gather into a following
+        # bf16 matmul's backward pass, which hits an unimplemented DotThunk
+        # ("BF16 x BF16 = F32") in the current CPU thunk runtime; on TPU it
+        # only pins a tiny copy, which XLA schedules for free
+        return jax.lax.optimization_barrier(out)
 
     return transform

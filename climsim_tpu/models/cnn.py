@@ -23,11 +23,14 @@ class Conv1d(nn.Module):
     features: int
     kernel: int = 3
     compute_dtype: jnp.dtype = jnp.bfloat16
+    bias_init_value: float = 0.0
 
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.features, (self.kernel,), padding="SAME",
-                    dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+                    dtype=self.compute_dtype, param_dtype=jnp.float32,
+                    bias_init=nn.initializers.constant(
+                        self.bias_init_value))(x)
         return y.astype(jnp.float32)
 
 
@@ -74,5 +77,15 @@ class ClimSimCNN(nn.Module):
         n_scal = len(self.spec.output_scalar_vars)
         h = nn.elu(Conv1d(n_prof + n_scal, 1, self.compute_dtype)(h))
         lin = Conv1d(n_prof, 1, self.compute_dtype)(h)
-        rel = nn.relu(Conv1d(n_scal, 1, self.compute_dtype)(h))
+        # Positivity head: the reference uses relu (hpo_train.py:211), but a
+        # relu output unit whose pre-activation goes negative on every
+        # sample receives zero gradient forever.  Empirically 1-2 of the 8
+        # scalar channels died this way per init seed (R2 ~ -15 on exactly
+        # the unlucky channels, SOLSD/SOLLD in the 40-epoch synthetic run),
+        # and a positive bias init alone did not prevent mid-training death.
+        # softplus is the smooth positive surrogate (relu is its beta->inf
+        # limit): same output range, never zero-gradient.  Deliberate,
+        # documented deviation from the reference head.
+        rel = nn.softplus(Conv1d(n_scal, 1, self.compute_dtype,
+                                 bias_init_value=0.5)(h))
         return jnp.concatenate([lin, rel], axis=-1)  # (B, 60, C_out)

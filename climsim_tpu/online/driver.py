@@ -47,7 +47,8 @@ class ColumnState:
     tm_dyn: jnp.ndarray  # (B, 3, 60) previous dynamics forcing
 
 
-def initial_state(x_v4_raw: np.ndarray) -> ColumnState:
+def initial_state(x_v4_raw: np.ndarray, grid: Grid | None = None
+                  ) -> ColumnState:
     """Build a ColumnState from a raw v4 feature batch (e.g. synthetic)."""
     spec = get_varspec("v4")
     sl = spec.input_slices
@@ -59,7 +60,7 @@ def initial_state(x_v4_raw: np.ndarray) -> ColumnState:
         [x_v4_raw[:, sl[n]] for n in scal_names], axis=1))
     stack = lambda names: jnp.stack([prof(n) for n in names], axis=1)
     return ColumnState(
-        t=prof("state_t"), q1=physics_q1_from_rh(x_v4_raw, spec),
+        t=prof("state_t"), q1=physics_q1_from_rh(x_v4_raw, spec, grid),
         qc=prof("state_q0002"), qi=prof("state_q0003"),
         u=prof("state_u"), v=prof("state_v"),
         scalars=scalars,
@@ -75,15 +76,19 @@ def initial_state(x_v4_raw: np.ndarray) -> ColumnState:
     )
 
 
-def physics_q1_from_rh(x_v4_raw, spec):
-    """v4 carries RH, not q1; recover q1 = rh * qsat(t, pmid~ps-scaled)."""
+def physics_q1_from_rh(x_v4_raw, spec, grid: Grid | None = None):
+    """v4 carries RH, not q1; recover q1 = rh * qsat(t, pmid) with the real
+    hybrid-sigma mid-level pressure (data_utils.py:1049-1052)."""
+    if grid is None:
+        from ..grid import load_default_grid
+
+        grid = load_default_grid()
     sl = spec.input_slices
     t = jnp.asarray(x_v4_raw[:, sl["state_t"]])
     rh = jnp.asarray(x_v4_raw[:, sl["state_rh"]])
     ps = jnp.asarray(x_v4_raw[:, sl["state_ps"].start])
-    # mid-level pressure from a nominal sigma profile (driver-internal)
-    sigma = (jnp.arange(60) + 0.5) / 60.0
-    pmid = 20.0 + (ps[:, None] - 20.0) * sigma[None, :] ** 1.5
+    pmid = physics.midlevel_pressure(ps, jnp.asarray(grid.hyam),
+                                     jnp.asarray(grid.hybm))
     qvs = (physics.RD * physics.saturation_pressure(t)) / (physics.RV * pmid)
     return rh * qvs
 
@@ -104,11 +109,17 @@ class HybridDriver:
         self._spec = spec
 
     # -- feature assembly --------------------------------------------------
+    def _pmid(self, ps):
+        """Real hybrid-sigma mid-level pressure from the grid coefficients
+        (replaces an earlier fabricated sigma^1.5 profile; the reference
+        physics is hybrid-sigma everywhere, data_utils.py:1049-1052)."""
+        return physics.midlevel_pressure(
+            ps, jnp.asarray(self.grid.hyam), jnp.asarray(self.grid.hybm))
+
     def assemble_v4(self, s: ColumnState) -> jnp.ndarray:
         sigma = (jnp.arange(60) + 0.5) / 60.0
         ps = s.scalars[:, 0]  # state_ps is the first scalar in the v4 tail
-        pmid = 20.0 + (ps[:, None] - 20.0) * sigma[None, :] ** 1.5
-        rh = physics.relative_humidity(s.t, s.q1, pmid)
+        rh = physics.relative_humidity(s.t, s.q1, self._pmid(ps))
         profs = [s.t, rh, s.qc, s.qi, s.u, s.v,
                  s.dyn[:, 0], s.dyn[:, 1], s.dyn[:, 2],
                  s.tm_dyn[:, 0], s.tm_dyn[:, 1], s.tm_dyn[:, 2],
@@ -157,13 +168,31 @@ class HybridDriver:
 
     @partial(jax.jit, static_argnums=(0, 3))
     def rollout(self, params, state0: ColumnState, n_steps: int):
-        """lax.scan rollout; returns (final_state, trajectory dict)."""
+        """lax.scan rollout; returns (final_state, trajectory dict).
+
+        The trajectory includes the per-step column water-budget residual
+        (the water_conservation.ipynb check): a coupling-grade emulator
+        should keep it bounded over the rollout; secular growth flags a
+        physics-breaking model.
+        """
+        sl = self._sl
+        hyai = jnp.asarray(self.grid.hyai)
+        hybi = jnp.asarray(self.grid.hybi)
 
         def body(carry, step_idx):
             new, tend = self.step(params, carry, step_idx)
+            ps = carry.scalars[:, 0]
+            lhflx = carry.scalars[:, 2]  # ps, SOLIN, LHFLX, ... scalar order
+            wres = physics.column_water_residual(
+                (tend[:, sl["ptend_q0001"]], tend[:, sl["ptend_q0002"]],
+                 tend[:, sl["ptend_q0003"]]),
+                ps, hyai, hybi,
+                tend[:, sl["cam_out_PRECC"].start],
+                tend[:, sl["cam_out_PRECSC"].start], lhflx)
             return new, {"t": new.t, "q1": new.q1,
                          "qn": new.qc + new.qi, "u": new.u,
-                         "precc": tend[:, self._sl["cam_out_PRECC"].start]}
+                         "precc": tend[:, sl["cam_out_PRECC"].start],
+                         "water_res": wres}
 
         final, traj = jax.lax.scan(body, state0, jnp.arange(n_steps))
         return final, traj
@@ -189,8 +218,7 @@ class V2RHDriver(HybridDriver):
     def assemble_v4(self, s: ColumnState) -> jnp.ndarray:  # name kept: hook
         sigma = (jnp.arange(60) + 0.5) / 60.0
         ps = s.scalars[:, 0]
-        pmid = 20.0 + (ps[:, None] - 20.0) * sigma[None, :] ** 1.5
-        rh = physics.relative_humidity(s.t, s.q1, pmid)
+        rh = physics.relative_humidity(s.t, s.q1, self._pmid(ps))
         b = s.t.shape[0]
         gases = jnp.broadcast_to(
             jnp.stack([1e-6 * (1.2 - sigma) ** 2,

@@ -81,7 +81,24 @@ class ShardingRules:
         return jax.device_put(tree, self.replicated)
 
     def shard_batch(self, *arrays):
+        """GLOBAL batches -> sharded device arrays (single-process path)."""
         out = tuple(jax.device_put(a, self.batch) for a in arrays)
+        return out[0] if len(out) == 1 else out
+
+    def shard_batch_local(self, *arrays):
+        """Per-process LOCAL rows -> global sharded arrays.
+
+        The multi-host input path: each process passes only the rows it
+        contributes (its slice of the global batch) and JAX assembles the
+        global array without any cross-host data movement -- the
+        DistributedSampler + DDP input contract
+        (train_unet_h5loader.py:132-140) done the JAX way
+        (jax.make_array_from_process_local_data).  Also valid (and a
+        no-op assembly) in single-process runs.
+        """
+        out = tuple(
+            jax.make_array_from_process_local_data(self.batch, np.asarray(a))
+            for a in arrays)
         return out[0] if len(out) == 1 else out
 
 

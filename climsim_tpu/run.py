@@ -53,6 +53,9 @@ def build_trainer(cfg: ExperimentConfig, spec, stats, sample, rng, rules,
     if cfg.model == "mlp":
         return recipes.mlp_trainer(spec, stats, sample, rng,
                                    **cfg.model_kw, **common)
+    if cfg.model == "mlp_v2":
+        return recipes.mlp_v2_trainer(spec, stats, sample, rng,
+                                      **cfg.model_kw, **common)
     if cfg.model == "ed":
         return recipes.ed_trainer(spec, stats, sample, rng, **common)
     if cfg.model == "cnn":
@@ -106,6 +109,10 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
     rng = jax.random.PRNGKey(cfg.seed)
 
     if cfg.model == "rpn":
+        # full-featured RPN loop: per-epoch ensemble-mean validation loss,
+        # History, top-K checkpointing (params+prior), early stop --
+        # the same control flow every other model gets from fit()
+        from .train.loop import History
         from .train.rpn_recipe import rpn_trainer
 
         tr = rpn_trainer(spec, stats, x_tr, rng, cfg=cfg.transform,
@@ -114,16 +121,47 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
             np.asarray(x_tr), np.asarray(y_tr), cfg.data.batch_size,
             cfg.model_kw.get("ensemble_size", 32), steps_per_epoch=steps,
             seed=cfg.data.seed)
+        ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
+                if cfg.train.checkpoint_dir else None)
+        early = (EarlyStopping(cfg.train.early_stop_patience)
+                 if cfg.train.early_stop_patience else None)
+        history = History()
         params, opt_state = tr.params, tr.opt_state
+        import time as _time
         for epoch in range(cfg.train.epochs):
-            losses = []
+            losses, n_seen = [], 0
+            t0 = _time.perf_counter()
             for xb, yb in loader:
                 params, opt_state, l = tr.train_step(
                     params, opt_state, tr.prior, xb, yb)
-                losses.append(float(np.mean(np.asarray(l))))
+                losses.append(l)
+                n_seen += xb.shape[1] * xb.shape[0]
+            train_loss = float(np.mean(
+                [np.mean(np.asarray(l)) for l in losses]))
+            sps = n_seen / max(_time.perf_counter() - t0, 1e-9)
+            val_loss = np.nan
+            if n_val:
+                vls = []
+                for s in range(0, x_val.shape[0], cfg.data.batch_size):
+                    vb = slice(s, s + cfg.data.batch_size)
+                    vls.append(np.mean(np.asarray(tr.eval_losses(
+                        params, tr.prior, np.asarray(x_val[vb]),
+                        np.asarray(y_val[vb])))))
+                val_loss = float(np.mean(vls))
+            history.log(epoch=epoch, train_loss=train_loss,
+                        val_loss=val_loss, samples_per_sec=sps)
+            if ckpt is not None and np.isfinite(val_loss):
+                tree = {"params": params, "prior": tr.prior}
+                ckpt.maybe_save(val_loss, epoch, tree)
+                ckpt.save_last(epoch, tree)
             if verbose:
-                print(f"epoch {epoch}: loss {np.mean(losses):.5f}")
-        return dict(trainer=tr, params=params, stats=stats, spec=spec)
+                print(f"epoch {epoch}: train {train_loss:.5f} "
+                      f"val {val_loss:.5f} ({sps:,.0f} samples/s)")
+            if early is not None and np.isfinite(val_loss) and \
+                    early.should_stop(val_loss):
+                break
+        return dict(trainer=tr, params=params, stats=stats, spec=spec,
+                    history=history, grid=grid)
 
     tr = build_trainer(cfg, spec, stats, (np.asarray(x_tr[:4]),
                                           np.asarray(y_tr[:4])), rng,

@@ -122,14 +122,45 @@ class DirectoryOracle:
                 out.append(int(name[len("trial_"):-len(".json")]))
         return sorted(out)
 
-    def claim(self, idx: int) -> bool:
+    def _try_create(self, path: str) -> bool:
         try:
-            fd = os.open(os.path.join(self.dir, f"claim_{idx}"),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
             return True
         except FileExistsError:
             return False
+
+    def claim(self, idx: int, stale_timeout: float | None = None,
+              max_retries: int = 1) -> bool:
+        """Claim trial idx by exclusive file creation.
+
+        With ``stale_timeout`` set, a claim whose marker is older than the
+        timeout and has no result is treated as a crashed worker: takeover
+        happens through exclusive creation of a retry-generation marker
+        (claim_<i>.retry<k>), bounded by ``max_retries`` -- the reference's
+        KerasTuner ``max_retries_per_trial=1`` semantics
+        (hpo_baseline_v1.py:232-235), but crash-safe with no server.
+        """
+        base = os.path.join(self.dir, f"claim_{idx}")
+        if self._try_create(base):
+            return True
+        if stale_timeout is None:
+            return False
+        if os.path.exists(os.path.join(self.dir, f"result_{idx}.json")):
+            return False
+        k, latest = 1, base
+        while os.path.exists(base + f".retry{k}"):
+            latest = base + f".retry{k}"
+            k += 1
+        if k - 1 >= max_retries:
+            return False  # retry budget exhausted; leave the orphan
+        try:
+            age = time.time() - os.path.getmtime(latest)
+        except OSError:
+            return False
+        if age < stale_timeout:
+            return False
+        return self._try_create(base + f".retry{k}")
 
     def load_trial(self, idx: int) -> dict:
         with open(os.path.join(self.dir, f"trial_{idx}.json")) as f:
@@ -166,15 +197,22 @@ class DirectoryOracle:
 # --------------------------------------------------------------------------
 def run_worker(oracle: DirectoryOracle,
                trial_fn: Callable[[dict], float],
-               max_trials: int | None = None) -> int:
+               max_trials: int | None = None,
+               stale_timeout: float | None = None,
+               max_retries: int = 1) -> int:
     """Claim-and-run loop; safe to run in many processes concurrently.
     trial_fn(hp) -> score (lower is better).  Returns #trials this worker
-    completed."""
+    completed.
+
+    With ``stale_timeout`` (seconds) the worker also takes over trials whose
+    claim marker went stale with no result (crashed worker), at most
+    ``max_retries`` times per trial.
+    """
     done = 0
     for idx in oracle.trials():
         if max_trials is not None and done >= max_trials:
             break
-        if not oracle.claim(idx):
+        if not oracle.claim(idx, stale_timeout, max_retries):
             continue
         if idx in oracle.results():
             continue

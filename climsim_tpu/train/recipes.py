@@ -52,9 +52,19 @@ def _common(model, spec, stats, cfg, rules, rng, sample_batch,
             loss_kind="mse", block_weights=None, schedule=None,
             optimizer_name="adam", deterministic_loss=False,
             energy_weight: float = 0.0, water_weight: float = 0.0,
-            grid=None):
-    """Wire a deterministic flat-output model (mlp/ed/online mlp)."""
-    in_t = T.make_input_transform(spec, stats, cfg)
+            grid=None, input_post: Callable | None = None):
+    """Wire a deterministic flat-output model (mlp/ed/online mlp).
+
+    input_post: optional feature-space transform applied AFTER
+    normalization (e.g. the UTLS subset for MLP v2); the energy/water
+    losses read ps/LHFLX from the pre-post (full) feature layout.
+    """
+    in_t_full = T.make_input_transform(spec, stats, cfg)
+    if input_post is None:
+        in_t = in_t_full
+    else:
+        def in_t(x):
+            return input_post(in_t_full(x))
     tgt_t = T.make_target_transform(spec, stats, cfg)
     weight = (losses.block_weight_vector(spec, block_weights)
               if block_weights else None)
@@ -72,7 +82,8 @@ def _common(model, spec, stats, cfg, rules, rng, sample_batch,
         lh_div = float(stats.inp_div[lh_i])
 
     def loss_fn(params, rng_, xb, yb):
-        x = in_t(xb)
+        x_full = in_t_full(xb)
+        x = input_post(x_full) if input_post is not None else x_full
         y = tgt_t(yb)
         kw = {}
         if rng_ is not None and not deterministic_loss:
@@ -81,14 +92,14 @@ def _common(model, spec, stats, cfg, rules, rng, sample_batch,
         loss = base_loss(pred, y, weight)
         aux = {}
         if energy_weight > 0.0 or water_weight > 0.0:
-            ps_raw = x[:, ps_i] * ps_div + ps_sub
+            ps_raw = x_full[:, ps_i] * ps_div + ps_sub
         if energy_weight > 0.0:
             e = losses.energy_loss(pred, y, ps_raw, hyai, hybi,
                                    out_scale, spec)
             aux["energy_loss"] = e
             loss = loss + energy_weight * e
         if water_weight > 0.0:
-            lh_raw = x[:, lh_i] * lh_div + lh_sub
+            lh_raw = x_full[:, lh_i] * lh_div + lh_sub
             w = losses.water_loss(pred, y, ps_raw, lh_raw, hyai, hybi,
                                   out_scale, spec)
             aux["water_loss"] = w
@@ -126,6 +137,29 @@ def mlp_trainer(spec: VarSpec, stats: NormStats, sample_batch, rng,
     return _common(model, spec, stats, cfg, rules, rng, sample_batch,
                    loss_kind="mse", schedule=sched,
                    deterministic_loss=True, **kw)
+
+
+def mlp_v2_trainer(spec: VarSpec, stats: NormStats, sample_batch, rng,
+                   rules: ShardingRules | None = None,
+                   hidden=(768, 640, 512, 640, 640), activation="relu",
+                   steps_per_epoch=1000, cfg: T.TransformConfig | None = None,
+                   utls_lo: int = 5, utls_hi: int = 21, **kw):
+    """MLP v2 baseline: v2 features with ozone/CH4/N2O truncated to the
+    UTLS levels [utls_lo, utls_hi) -> 425 inputs -> 368 outputs, same
+    cyclic-LR MSE recipe as v1 (hpo_baseline_v2.py:58-60,154-177).
+
+    The subset runs inside the jit after normalization, so raw batches
+    stay in the full v2 layout (shards are reusable across v2 variants).
+    """
+    from ..models import ClimSimMLP
+
+    model = ClimSimMLP(spec=spec, hidden=tuple(hidden), activation=activation)
+    idx = T.utls_feature_indices(spec, lo=utls_lo, hi=utls_hi)
+    post = T.make_subset_transform(idx)
+    sched = schedules.cyclic_triangular2(2.5e-4, 2.5e-3, 2 * steps_per_epoch)
+    return _common(model, spec, stats, cfg, rules, rng, sample_batch,
+                   loss_kind="mse", schedule=sched, deterministic_loss=True,
+                   input_post=post, **kw)
 
 
 def ed_trainer(spec, stats, sample_batch, rng, rules=None,

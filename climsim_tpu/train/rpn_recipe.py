@@ -35,6 +35,7 @@ class RPNTrainer:
     train_step: Callable
     posterior: Callable   # (params, prior, x_raw) -> (B, O, E) samples
     input_transform: Callable
+    eval_losses: Callable | None = None  # (params, prior, xb, yb) -> (E,)
 
 
 def rpn_trainer(spec: VarSpec, stats: NormStats, sample_x, rng,
@@ -78,6 +79,13 @@ def rpn_trainer(spec: VarSpec, stats: NormStats, sample_x, rng,
     def posterior(params, prior, x_raw):
         return ens.posterior(params, prior, in_t(x_raw))
 
+    @jax.jit
+    def eval_losses(params, prior, xb, yb):
+        """Per-member loss on one SHARED validation batch (B, D)."""
+        return jax.vmap(member_loss, in_axes=(0, 0, None, None))(
+            params, prior, xb, yb)
+
     return RPNTrainer(ensemble=ens, params=params, prior=prior,
                       opt_state=opt_state, train_step=train_step,
-                      posterior=posterior, input_transform=in_t)
+                      posterior=posterior, input_transform=in_t,
+                      eval_losses=eval_losses)

@@ -79,6 +79,9 @@ def main():
           round(D.weighted_rmse(t_traj, ref, grid), 4))
     print("precip stats:", D.precip_stats(precc, grid))
     print("microphysics:", D.microphysics_checks(qn_traj, t_traj, precc))
+    wres = np.asarray(traj["water_res"])
+    print(f"water-budget residual |mean| per step: "
+          f"{np.abs(wres).mean(axis=1).round(6).tolist()}")
     stable = abs(D.drift(t_traj, grid)) < 10.0
     print(f"stability verdict: {'stable' if stable else 'UNSTABLE'} "
           "(expected UNSTABLE for an undertrained demo model)")

@@ -108,6 +108,46 @@ def test_hpo_oracle_multiworker(tmp_path):
     assert run_worker(oracle, lambda hp: 0.0) == 0
 
 
+def test_hpo_stale_claim_takeover(tmp_path):
+    """A claim with no result (crashed worker) is retried once its marker
+    goes stale; the retry budget bounds re-runs (KerasTuner
+    max_retries_per_trial=1 semantics, hpo_baseline_v1.py:232-235)."""
+    import os
+    import time
+
+    from climsim_tpu.train import hpo
+
+    oracle = hpo.DirectoryOracle(str(tmp_path))
+    oracle.publish([{"lr": i} for i in range(3)])
+    # simulate a worker that claimed trial 1 then died
+    assert oracle.claim(1)
+    old = time.time() - 3600
+    os.utime(str(tmp_path / "claim_1"), (old, old))
+
+    # without stale handling the orphan is never picked up
+    ran = []
+    hpo.run_worker(oracle, lambda hp: ran.append(hp["lr"]) or 0.0)
+    assert sorted(ran) == [0, 2]
+
+    # with a stale timeout the orphan is taken over exactly once
+    ran2 = []
+    n = hpo.run_worker(oracle, lambda hp: ran2.append(hp["lr"]) or 0.0,
+                       stale_timeout=1.0)
+    assert ran2 == [1] and n == 1
+    assert len(oracle.results()) == 3
+
+    # budget: a second stale generation is NOT retried (max_retries=1)
+    oracle2 = hpo.DirectoryOracle(str(tmp_path / "b"))
+    oracle2.publish([{"lr": 0}])
+    assert oracle2.claim(0)
+    for f in ("claim_0",):
+        os.utime(str(tmp_path / "b" / f), (old, old))
+    assert oracle2.claim(0, stale_timeout=1.0)  # first takeover
+    os.utime(str(tmp_path / "b" / "claim_0.retry1"), (old, old))
+    assert not oracle2.claim(0, stale_timeout=1.0)  # budget exhausted
+    assert oracle2.claim(0, stale_timeout=1.0, max_retries=2)  # raised budget
+
+
 def test_hpo_hyperband():
     from climsim_tpu.train import hpo
 

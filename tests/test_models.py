@@ -60,6 +60,31 @@ def test_cnn_channelized_roundtrip():
     assert (np.asarray(y_ch[:, :, 2:]) >= 0).all()
 
 
+def test_cnn_scalar_head_no_dead_channels():
+    """Regression: the relu scalar head could initialize/train into dead
+    channels (zero gradient forever -> R2 ~ -15 on the unlucky scalars);
+    the softplus head must keep every scalar channel responsive."""
+    import jax
+
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.norms import load_asset_norms
+    from climsim_tpu.train import recipes
+
+    stats = load_asset_norms("v1")
+    x, y = synthetic_split(SPEC, 1024, load_default_grid(), seed=0)
+    tr = recipes.cnn_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(2),
+                             depth=2, channels=32, steps_per_epoch=20)
+    state = tr.state
+    for i in range(60):
+        b = slice((i * 256) % 768, (i * 256) % 768 + 256)
+        state, _ = tr.train_step(state, x[b], y[b])
+    pred = np.asarray(tr.predict(state.params, x[:256]))
+    for v in SPEC.output_scalar_vars:
+        col = pred[:, SPEC.output_slices[v].start]
+        assert col.std() > 1e-3, f"dead scalar channel {v}"
+
+
 def test_channelize_matches_reference_layout():
     """channelize == data_utils.reshape_input_for_cnn semantics for v1."""
     x = np.asarray(X)

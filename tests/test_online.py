@@ -136,6 +136,39 @@ def test_hybrid_rollout(tiny_model):
     assert float(jnp.min(traj["q1"])) >= 0.0
     # prvphy memory updated: tm_prvphy of final == prvphy after step n-1
     assert np.isfinite(np.asarray(final.prvphy)).all()
+    # water-budget residual diagnostic: finite and bounded over the rollout
+    # (water_conservation.ipynb check; a random tiny model won't conserve,
+    # but the magnitude must stay stable -- no secular blow-up)
+    wres = np.asarray(traj["water_res"])
+    assert wres.shape == (5, 16)
+    assert np.isfinite(wres).all()
+    step_mag = np.abs(wres).mean(axis=1)
+    assert step_mag[-1] < 50 * (step_mag[0] + 1e-12)
+
+
+def test_rollout_uses_hybrid_sigma_pressure(tiny_model):
+    """The driver's RH assembly must use the grid's hyam/hybm mid-level
+    pressure, not a fabricated sigma law (data_utils.py:1049-1052)."""
+    from climsim_tpu.online.driver import HybridDriver, initial_state
+    from climsim_tpu import physics
+
+    apply, params = tiny_model
+    wrap = W.make_wrapper(apply, STATS5)
+    driver = HybridDriver(wrap, GRID)
+    x0 = raw_v4_batch(4, seed=5)
+    s = initial_state(x0, GRID)
+    ps = np.asarray(s.scalars[:, 0])
+    want = physics.midlevel_pressure(
+        jnp.asarray(ps), jnp.asarray(GRID.hyam), jnp.asarray(GRID.hybm))
+    np.testing.assert_allclose(np.asarray(driver._pmid(s.scalars[:, 0])),
+                               np.asarray(want), rtol=1e-6)
+    # and q1 recovered from RH round-trips through the same pressure
+    sl = SPEC4.input_slices
+    t = x0[:, sl["state_t"]]
+    rh_in = x0[:, sl["state_rh"]]
+    rh_back = np.asarray(physics.relative_humidity(
+        jnp.asarray(t), s.q1, want))
+    np.testing.assert_allclose(rh_back, rh_in, rtol=1e-4)
 
 
 def test_online_diagnostics():

@@ -30,6 +30,39 @@ def v5data():
     return spec, x, y, compute_norms_from_data(spec, x, y)
 
 
+def test_mlp_v2_utls_trainer_learns():
+    """MLP v2 (UTLS): 557 raw -> 425 normalized-subset inputs -> 368 out,
+    end to end (hpo_baseline_v2.py:58-60,154-177)."""
+    from climsim_tpu.data.transforms import utls_feature_indices
+    from climsim_tpu.train import recipes
+
+    spec = get_varspec("v2")
+    x, y = synthetic_split(spec, n=2 * 384, grid=GRID, seed=2)
+    stats = compute_norms_from_data(spec, x, y)
+    assert utls_feature_indices(spec).shape == (425,)
+
+    tr = recipes.mlp_v2_trainer(spec, stats, (x, y), jax.random.PRNGKey(0),
+                                hidden=(64, 64), steps_per_epoch=8)
+    # the model consumed the 425-wide subset at init
+    kernel0 = jax.tree_util.tree_leaves(
+        tr.state.params)[0]
+    widths = {l.shape[0] for l in jax.tree_util.tree_leaves(tr.state.params)
+              if getattr(l, "ndim", 0) == 2}
+    assert 425 in widths and spec.input_len not in widths
+
+    state = tr.state
+    first = last = None
+    for i in range(24):
+        s = (i * 128) % (x.shape[0] - 128)
+        state, m = tr.train_step(state, x[s:s + 128], y[s:s + 128])
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert np.isfinite(last) and last < first
+    preds = np.asarray(tr.predict(state.params, x[:64]))
+    assert preds.shape == (64, spec.output_len)
+
+
 def test_rpn_training_and_posterior(v1data):
     from climsim_tpu.train.rpn_recipe import rpn_trainer
 
