@@ -13,12 +13,20 @@ import numpy as np
 from ..grid import Grid
 
 
-def reshape_daily(output: np.ndarray, grid: Grid, samples_per_day: int = 12):
-    """(N, >=120) flat outputs -> daily zonal means of ptend_t/ptend_q0001.
+def reshape_daily(output: np.ndarray, grid: Grid, samples_per_day: int = 12,
+                  spec=None, variables=("ptend_t", "ptend_q0001")):
+    """Flat outputs -> daily zonal means of the requested profile vars.
 
-    Returns two (lat, n_days, 60) arrays.  Scoring stride 6 gives 12
-    samples/day at the 1200 s cadence (data_utils.py:1609-1629).
+    Returns one (lat, n_days, 60) array per variable.  Scoring stride 6
+    gives 12 samples/day at the 1200 s cadence (data_utils.py:1609-1629).
+    ``spec`` selects the variable layout; None keeps the v1 default (the
+    reference hardcodes [:, :60]/[:, 60:120], which silently reads garbage
+    for v2/v5 layouts -- passing the spec makes the slicing explicit).
     """
+    if spec is None:
+        from ..varspec import get_varspec
+
+        spec = get_varspec("v1")
     n = output.shape[0]
     ncol = grid.ncol
     t = n // ncol
@@ -31,7 +39,11 @@ def reshape_daily(output: np.ndarray, grid: Grid, samples_per_day: int = 12):
                           for idx in grid.lat_indices()])
         return zonal  # (lat, days, 60)
 
-    return one(output[:, :60]), one(output[:, 60:120])
+    sl = spec.output_slices
+    for v in variables:
+        assert sl[v].stop - sl[v].start == 60, \
+            f"{v} is not a profile variable in {spec.name}"
+    return tuple(one(output[:, sl[v]]) for v in variables)
 
 
 def daily_zonal_r2(pred_daily: np.ndarray, target_daily: np.ndarray):

@@ -170,6 +170,7 @@ class ClimSimUNet(nn.Module):
     output_prune: bool = False
     strato_lev_out: int = 15
     classifier: bool = False
+    num_classes: int = 3  # classifier head: 3-class per-level scheme
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def _assemble(self, x):
@@ -253,7 +254,7 @@ class ClimSimUNet(nn.Module):
                               name=f"dec{res}_block{idx}")(h, deterministic)
 
         # --- output head --------------------------------------------------
-        n_prof_out = (1 if self.classifier
+        n_prof_out = (self.num_classes if self.classifier
                       else len(spec.output_profile_vars))
         n_scal_out = 0 if self.classifier else len(spec.output_scalar_vars)
         h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-6,
@@ -264,7 +265,10 @@ class ClimSimUNet(nn.Module):
         h = h[:, pad:, :]  # (B, 60, C_out)
 
         if self.classifier:
-            return h[:, :, 0]  # (B, 60) per-level logits
+            # (B, 60, K) per-level class logits; the reference's 3-class
+            # scheme (climsim_datapip_classifier_h5.py:121-122): 0 = zero
+            # tendency, 1 = cloud fully evaporates, 2 = regular regression
+            return h
 
         y_prof = h[:, :, :n_prof_out].transpose(0, 2, 1).reshape(
             -1, n_prof_out * NUM_LEVELS)

@@ -331,30 +331,46 @@ def unet_trainer(spec, stats, sample_batch, rng, rules=None,
                    deterministic_loss=(model.dropout == 0.0), **kw)
 
 
+def classifier_labels(x_raw, y_raw, spec, threshold_class1=1e-9,
+                      threshold_class2=1e-11, dt=1200.0):
+    """3-class per-level labels for the v5 two-stage classifier, exactly
+    the reference's construction (climsim_datapip_classifier_h5.py:118-122):
+      class 0: |dqn/dt| <= threshold_class2  (tendency is zero)
+      class 1: qn + dqn*1200 <= threshold_class1  (cloud fully evaporates)
+      class 2: regular condensate evolution (regressor applies)
+    x_raw/y_raw are raw (un-normalized) batches."""
+    qn = x_raw[:, spec.input_slices["state_qn"]]
+    dqn = y_raw[:, spec.output_slices["ptend_qn"]]
+    qn_next = qn + dqn * dt
+    labels = jnp.where(qn_next <= threshold_class1, 1, 2)
+    return jnp.where(jnp.abs(dqn) <= threshold_class2, 0, labels)
+
+
 def unet_classifier_trainer(spec, stats, sample_batch, rng, rules=None,
                             steps_per_epoch=1000, cfg=None, model_kw=None,
-                            lr=1e-3, cloud_threshold=1e-7, **kw):
-    """Cloud/no-cloud per-level classifier for the v5 two-stage scheme
-    (climsim_unet_classifier.py + train_unet_h5loader_classifier.py):
-    sigmoid-BCE against (|qn tendency| target > threshold) labels."""
+                            lr=1e-3, threshold_class1=1e-9,
+                            threshold_class2=1e-11, **kw):
+    """3-class per-level cloud classifier for the v5 two-stage scheme
+    (climsim_unet_classifier.py + train_unet_h5loader_classifier.py:306-311:
+    CrossEntropyLoss on (batch*level, 3) logits; label thresholds
+    threshold_class1/2 from conf/config_single.yaml:63-64)."""
     from ..models.unet import ClimSimUNet
 
     model = ClimSimUNet(spec=spec, classifier=True, **(model_kw or {}))
     cfg = cfg or T.v5_online_config()
     in_t = T.make_input_transform(spec, stats, cfg)
-    sl_qn = spec.output_slices["ptend_qn"]
 
     def loss_fn(params, rng_, xb, yb):
         x = in_t(xb)
-        labels = (jnp.abs(yb[:, sl_qn]) > cloud_threshold).astype(
-            jnp.float32)
+        labels = classifier_labels(xb, yb, spec, threshold_class1,
+                                   threshold_class2)
         kw_ = {}
         if rng_ is not None and model.dropout > 0:
             kw_ = dict(deterministic=False, rngs={"dropout": rng_})
-        logits = model.apply(params, x, **kw_)
-        bce = optax.sigmoid_binary_cross_entropy(logits, labels)
-        acc = jnp.mean((logits > 0) == (labels > 0.5))
-        return jnp.mean(bce), {"accuracy": acc}
+        logits = model.apply(params, x, **kw_)  # (B, 60, 3)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+        return jnp.mean(ce), {"accuracy": acc}
 
     params = model.init(rng, in_t(sample_batch[0][:2]))
     if rules is not None:
@@ -364,7 +380,8 @@ def unet_classifier_trainer(spec, stats, sample_batch, rng, rules=None,
                                rules)
 
     def apply_prob(params_, x_raw):
-        return jax.nn.sigmoid(model.apply(params_, in_t(x_raw)))
+        """(B, 60, 3) class probabilities."""
+        return jax.nn.softmax(model.apply(params_, in_t(x_raw)), axis=-1)
 
     return Trainer(model=model, state=state,
                    train_step=make_train_step(loss_fn, opt, rules),

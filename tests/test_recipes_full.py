@@ -127,9 +127,17 @@ def test_unet_classifier_recipe(v5data):
                       attn_resolutions=()))
     state, m = tr.train_step(tr.state, x[:32], y[:32])
     assert 0.0 <= float(m["accuracy"]) <= 1.0
-    probs = tr.predict(state.params, x[:8])
-    assert probs.shape == (8, 60)
+    probs = np.asarray(tr.predict(state.params, x[:8]))
+    assert probs.shape == (8, 60, 3)  # 3-class per-level scheme
     assert (probs >= 0).all() and (probs <= 1).all()
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+
+    # label construction matches the reference's thresholds
+    from climsim_tpu.train.recipes import classifier_labels
+
+    labels = np.asarray(classifier_labels(x[:32], y[:32], spec))
+    assert labels.shape == (32, 60)
+    assert set(np.unique(labels)) <= {0, 1, 2}
 
 
 def test_crps_scoring_flow(v1data):

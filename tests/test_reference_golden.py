@@ -109,6 +109,22 @@ def ref_split_arrays(du, ncdir, version, tmp, normalize_tag):
 # shim sanity: the oracle harness itself reads files correctly
 # --------------------------------------------------------------------------
 
+def test_ncread_real_netcdf4_file():
+    """The repo's own reader handles a REAL netCDF-4 (HDF5) file from the
+    reference tree -- the format the production norm/grid files use."""
+    import h5py
+
+    from climsim_tpu.utils.ncread import read_netcdf
+
+    path = f"{REF_NORMS}/inputs/input_mean.nc"
+    nc = read_netcdf(path)
+    with h5py.File(path, "r") as f:
+        for name in ("state_t", "state_q0001", "state_ps", "cam_in_LWUP"):
+            np.testing.assert_array_equal(nc[name], f[name][()])
+    assert nc.variables["state_t"].shape == (60,)
+    assert nc.variables["state_ps"].shape == ()
+
+
 def test_shim_reads_classic_and_hdf5(ncdir):
     files = sorted(os.listdir(os.path.join(ncdir, "0001-02")))
     ds = xr.open_dataset(os.path.join(ncdir, "0001-02", files[0]))

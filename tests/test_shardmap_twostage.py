@@ -62,22 +62,41 @@ def test_shardmap_step_matches_autopartitioned():
 
 
 def test_two_stage_gating():
+    """3-class gate (climsim_datapip_classifier_h5.py:118-122): class 0 ->
+    zero tendency, class 1 -> exact evaporation, class 2 -> regressor."""
+    import dataclasses
+
+    from climsim_tpu.norms import identity_norms
     from climsim_tpu.online.two_stage import make_two_stage_apply
 
     spec5 = get_varspec("v5")
     sl_qn = spec5.output_slices["ptend_qn"]
+    sl_qn_in = spec5.input_slices["state_qn"]
     rng = np.random.default_rng(0)
     y_full = rng.normal(size=(4, spec5.output_len)).astype(np.float32)
-    logits = rng.normal(size=(4, 60)).astype(np.float32) * 3
+    logits = rng.normal(size=(4, 60, 3)).astype(np.float32) * 3
+    stats = dataclasses.replace(identity_norms(spec5),
+                                lbd_qn=np.full(60, 1e4))
 
-    reg = lambda p, x: jnp.asarray(y_full)
-    cls = lambda p, x: jnp.asarray(logits)
-    apply = make_two_stage_apply(reg, cls, threshold=0.5)
-    out = np.asarray(apply((None, None), jnp.zeros((4, spec5.input_len))))
+    # x_norm qn block = exp-transformed raw qn under identity norms
+    qn_raw = np.abs(rng.normal(size=(4, 60))).astype(np.float32) * 1e-4
+    x = np.zeros((4, spec5.input_len), np.float32)
+    x[:, sl_qn_in] = 1.0 - np.exp(-qn_raw * 1e4)
 
-    prob = 1 / (1 + np.exp(-logits))
-    want_qn = np.where(prob >= 0.5, y_full[:, sl_qn], 0.0)
-    np.testing.assert_allclose(out[:, sl_qn], want_qn, rtol=1e-6)
+    reg = lambda p, xx: jnp.asarray(y_full)
+    cls = lambda p, xx: jnp.asarray(logits)
+    apply = make_two_stage_apply(reg, cls, stats=stats)
+    out = np.asarray(apply((None, None), jnp.asarray(x)))
+
+    classes = logits.argmax(axis=-1)
+    evap = -qn_raw / 1200.0
+    want_qn = np.where(classes == 2, y_full[:, sl_qn],
+                       np.where(classes == 1, evap, 0.0))
+    np.testing.assert_allclose(out[:, sl_qn], want_qn, rtol=2e-3,
+                               atol=1e-12)
+    # class-1 levels drive qn to exactly zero over one coupling step
+    qn_next = qn_raw + out[:, sl_qn] * 1200.0
+    np.testing.assert_allclose(qn_next[classes == 1], 0.0, atol=1e-8)
     # everything outside the qn block untouched
     mask = np.ones(spec5.output_len, bool)
     mask[sl_qn] = False
