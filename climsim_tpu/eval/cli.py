@@ -53,14 +53,17 @@ def main(argv=None):
 
     inputs = np.load(args.inputs, mmap_mode="r")
     target = np.load(args.targets, mmap_mode="r")
-    preds = {}
-    for spec_str in args.pred:
-        name, _, path = spec_str.partition("=")
-        preds[name] = np.load(path, mmap_mode="r")
-    samples = {}
-    for spec_str in args.samples:
-        name, _, path = spec_str.partition("=")
-        samples[name] = np.load(path, mmap_mode="r")
+    def parse_named(entries, flag):
+        out = {}
+        for spec_str in entries:
+            name, sep, path = spec_str.partition("=")
+            if not sep or not name or not path:
+                ap.error(f"{flag} expects name=path.npy, got {spec_str!r}")
+            out[name] = np.load(path, mmap_mode="r")
+        return out
+
+    preds = parse_named(args.pred, "--pred")
+    samples = parse_named(args.samples, "--samples")
 
     tables, per_index = offline_score(
         spec, grid, stats, np.asarray(inputs), np.asarray(target),

@@ -38,6 +38,15 @@ import numpy as np
 from ..varspec import NUM_LEVELS, VarSpec
 
 
+def _scaled_xavier(scale: float):
+    base = nn.initializers.xavier_uniform()
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
 class Conv1d(nn.Module):
     features: int
     kernel: int = 3
@@ -46,7 +55,12 @@ class Conv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        init = (nn.initializers.zeros_init() if self.zero_init
+        # "zero" init is xavier scaled by 1e-5, NOT exact zeros, matching
+        # the reference (climsim_unet.py:123 init_weight=1e-5).  Exact
+        # zeros would make the relu'd scalar head permanently dead:
+        # relu'(0) = 0, so the out_conv weights would never receive
+        # gradient for the scalar channels.
+        init = (_scaled_xavier(1e-5) if self.zero_init
                 else nn.initializers.xavier_uniform())
         y = nn.Conv(self.features, (self.kernel,), padding="SAME",
                     kernel_init=init, dtype=self.compute_dtype,

@@ -144,11 +144,20 @@ def test_every_preset_runs_tiny():
     (catches config<->recipe keyword mismatches)."""
     from climsim_tpu.run import run_experiment
 
-    common = ["train.epochs=1", "data.num_synthetic=768",
+    # keyword-mismatch coverage only: smallest graphs that still thread
+    # every preset through its recipe.  val_fraction=0 skips the eval-step
+    # compile per preset (the fit/eval path is covered by
+    # test_run_experiment_small); this box has ONE cpu core, so wall time
+    # here is XLA compile time, and shapes are chosen to minimize it.
+    common = ["train.epochs=1", "data.num_synthetic=384",
               "data.batch_size=128", "data.norms=compute",
-              "train.num_data_shards=1", "data.loader=host"]
+              "train.num_data_shards=1", "data.loader=host",
+              "data.val_fraction=0"]
+    tiny_unet = ["model_kw.model_channels=8", "model_kw.channel_mult=[1]",
+                 "model_kw.num_blocks=1", "model_kw.attn_resolutions=[]"]
     shrink = {
         "mlp_v1": ["model_kw.hidden=[32]"],
+        "mlp_v2": ["model_kw.hidden=[32]"],
         "cnn_v1": ["model_kw.depth=1", "model_kw.channels=16"],
         "ed_v1": ["model_kw.intermediate=32", "model_kw.latent=3"],
         "hsr_v1": ["model_kw.hidden=32", "model_kw.layers=1"],
@@ -157,18 +166,9 @@ def test_every_preset_runs_tiny():
         "cvae_v1": ["model_kw.hidden=32", "model_kw.layers=1",
                     "model_kw.latent=3"],
         "mlp_v2rh": ["model_kw.hidden=[32]"],
-        "unet_v4": ["model_kw.model_channels=8",
-                    "model_kw.channel_mult=[1,2]",
-                    "model_kw.num_blocks=1",
-                    "model_kw.attn_resolutions=[32]"],
-        "unet_v5": ["model_kw.model_channels=8",
-                    "model_kw.channel_mult=[1,2]",
-                    "model_kw.num_blocks=1",
-                    "model_kw.attn_resolutions=[32]"],
-        "unet_v5_classifier": ["model_kw.model_channels=8",
-                               "model_kw.channel_mult=[1,2]",
-                               "model_kw.num_blocks=1",
-                               "model_kw.attn_resolutions=[]"],
+        "unet_v4": tiny_unet,
+        "unet_v5": tiny_unet,
+        "unet_v5_classifier": tiny_unet,
     }
     for name, cfg0 in PRESETS.items():
         cfg = cfg0.override(*(common + shrink.get(name, [])))

@@ -171,6 +171,29 @@ def test_rollout_uses_hybrid_sigma_pressure(tiny_model):
     np.testing.assert_allclose(rh_back, rh_in, rtol=1e-4)
 
 
+def test_online_eval_flow(tmp_path):
+    """The composed end-to-end online evaluation (train -> wrap -> hybrid
+    rollout vs perturbed-IC oracle ensemble -> report + figures), tiny."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "online_eval", os.path.join(root, "scripts", "online_eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(["--steps", "4", "--window", "2", "--train-steps", "4",
+                    "--batch", "64", "--channels", "8",
+                    "--out", str(tmp_path)])
+    assert np.isfinite(out["floor"]) and out["floor"] > 0
+    assert len(out["win_rmse"]) == 2
+    assert all(np.isfinite(r) for r in out["win_rmse"])
+    assert os.path.exists(out["report"])
+    for f in ("online_error_growth.png", "online_zonal_bias.png",
+              "online_monthly_rmse.png", "online_precip.png"):
+        assert os.path.exists(str(tmp_path / "figures" / f)), f
+
+
 def test_online_diagnostics():
     from climsim_tpu.eval import online_diags as D
 

@@ -92,7 +92,7 @@ def test_unet_trainer_v5(v5data):
     spec, x, y, stats = v5data
     tr = recipes.unet_trainer(
         spec, stats, (x, y), jax.random.PRNGKey(0), steps_per_epoch=4,
-        model_kw=dict(model_channels=8, channel_mult=(1, 2), num_blocks=1,
+        model_kw=dict(model_channels=8, channel_mult=(1,), num_blocks=1,
                       attn_resolutions=(32,)))
     xb, yb = x[:32], y[:32]
     state, m = tr.train_step(tr.state, xb, yb)
@@ -110,7 +110,7 @@ def test_unet_trainer_energy_loss(v5data):
     tr = recipes.unet_trainer(
         spec, stats, (x, y), jax.random.PRNGKey(0), steps_per_epoch=4,
         energy_weight=1e-12, grid=GRID,
-        model_kw=dict(model_channels=8, channel_mult=(1, 2), num_blocks=1,
+        model_kw=dict(model_channels=8, channel_mult=(1,), num_blocks=1,
                       attn_resolutions=()))
     state, m = tr.train_step(tr.state, x[:16], y[:16])
     assert "energy_loss" in m
@@ -123,7 +123,7 @@ def test_unet_classifier_recipe(v5data):
     spec, x, y, stats = v5data
     tr = recipes.unet_classifier_trainer(
         spec, stats, (x, y), jax.random.PRNGKey(0),
-        model_kw=dict(model_channels=8, channel_mult=(1, 2), num_blocks=1,
+        model_kw=dict(model_channels=8, channel_mult=(1,), num_blocks=1,
                       attn_resolutions=()))
     state, m = tr.train_step(tr.state, x[:32], y[:32])
     assert 0.0 <= float(m["accuracy"]) <= 1.0
@@ -194,7 +194,7 @@ def test_water_loss_penalty(v5data):
     tr = recipes.unet_trainer(
         spec, stats, (x, y), jax.random.PRNGKey(0), steps_per_epoch=4,
         energy_weight=1e-12, water_weight=1e-6, grid=GRID,
-        model_kw=dict(model_channels=8, channel_mult=(1, 2), num_blocks=1,
+        model_kw=dict(model_channels=8, channel_mult=(1,), num_blocks=1,
                       attn_resolutions=()))
     state, m = tr.train_step(tr.state, x[:16], y[:16])
     assert "water_loss" in m and "energy_loss" in m

@@ -116,7 +116,7 @@ def test_two_stage_through_wrapper():
     stats = load_asset_norms("v5")
     reg_model = OnlineMLP(spec=spec5, hidden=(16,))
     cls_model = ClimSimUNet(spec=spec5, model_channels=8,
-                            channel_mult=(1, 2), num_blocks=1,
+                            channel_mult=(1,), num_blocks=1,
                             attn_resolutions=(), classifier=True)
     x0 = jnp.zeros((2, spec5.input_len))
     reg_p = reg_model.init(jax.random.PRNGKey(0), x0)

@@ -12,8 +12,11 @@ SPEC5 = get_varspec("v5")
 
 
 def small_unet(**kw):
+    # attention off by default: this box compiles on one CPU core, and the
+    # attn blocks dominate compile time; test_forward_shape keeps one
+    # attn-enabled variant for coverage
     defaults = dict(spec=SPEC5, model_channels=16, channel_mult=(1, 2),
-                    num_blocks=1, attn_resolutions=(32,), dropout=0.0)
+                    num_blocks=1, attn_resolutions=(), dropout=0.0)
     defaults.update(kw)
     return ClimSimUNet(**defaults)
 
@@ -28,12 +31,24 @@ def x5():
 
 
 def test_forward_shape(x5):
-    m = small_unet()
+    m = small_unet(attn_resolutions=(32,))  # the one attn-enabled build
     params = m.init(jax.random.PRNGKey(0), x5)
     y = m.apply(params, x5)
     assert y.shape == (4, SPEC5.output_len)
     # surface scalars relu'd
     assert (np.asarray(y[:, 300:]) >= 0).all()
+
+
+def test_out_conv_init_small_but_not_zero(x5):
+    """Regression: the output head init must be xavier*1e-5 (reference
+    climsim_unet.py:123), NOT exact zeros -- exact zeros leave the relu'd
+    scalar head with zero gradient forever (relu'(0)=0), producing
+    permanently-zero surface outputs (caught by the online eval flow)."""
+    m = small_unet()
+    params = m.init(jax.random.PRNGKey(0), x5)
+    k = params["params"]["out_conv"]["Conv_0"]["kernel"]
+    assert float(jnp.abs(k).max()) > 0.0
+    assert float(jnp.abs(k).max()) < 1e-3  # still effectively "zero init"
 
 
 def test_output_prune(x5):
@@ -49,7 +64,7 @@ def test_classifier_variant(x5):
     m = small_unet(classifier=True)
     params = m.init(jax.random.PRNGKey(0), x5)
     logits = m.apply(params, x5)
-    assert logits.shape == (4, 60)
+    assert logits.shape == (4, 60, 3)  # 3-class per-level scheme
 
 
 def test_loc_embedding_distinguishes_columns(x5):
