@@ -189,9 +189,26 @@ def online_mlp_trainer(spec, stats, sample_batch, rng, rules=None,
                    deterministic_loss=True, **kw)
 
 
+def _dropout_key(rng, impl: str | None):
+    """Training-state RNG key, optionally on a cheaper generator.
+
+    Dropout masks don't need threefry's statistical strength; the rbg
+    generator produces the random bits ~1.2-1.4x faster on TPU, which
+    matters for the CNN where 24 (B, 60, 406) masks per step made RNG
+    ~45% of the step time (scripts/bench_cnn.py)."""
+    base = jax.random.fold_in(rng, 1)
+    if impl is None:
+        return base
+    import numpy as np
+
+    seed = int(np.asarray(jax.random.key_data(base)).ravel()[-1])
+    return jax.random.key(seed, impl=impl)
+
+
 def cnn_trainer(spec, stats, sample_batch, rng, rules=None,
                 steps_per_epoch=1000, cfg=None, depth=12, channels=406,
-                dropout=0.175, loss_kind="mae", **kw):
+                dropout=0.175, loss_kind="mae",
+                dropout_rng_impl: str | None = "rbg", **kw):
     """CNN on the channelized view with the adjusted loss
     (hpo_train.py:114-236)."""
     from ..models import ClimSimCNN
@@ -216,7 +233,8 @@ def cnn_trainer(spec, stats, sample_batch, rng, rules=None,
     if rules is not None:
         params = rules.params(params)
     opt = _optimizer(sched)
-    state = create_train_state(params, opt, jax.random.fold_in(rng, 1), rules)
+    state = create_train_state(params, opt,
+                               _dropout_key(rng, dropout_rng_impl), rules)
 
     def apply_norm(params_, x_raw):
         y_ch = model.apply(params_, T.channelize_input(in_t(x_raw), spec))
