@@ -25,6 +25,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: this box has ONE cpu core, so XLA compilation
+# dominates suite wall time; cache hits cut a heavy test's first step from
+# ~63 s to ~9 s.  The cache holds machine code -- keyed per machine via
+# /tmp, safe for same-box reruns (the "+prefer-no-scatter feature"
+# warnings on load are an XLA bookkeeping artifact, not a real mismatch).
+_cache_dir = os.environ.get("CLIMSIM_TEST_COMPILE_CACHE",
+                            "/tmp/climsim_jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
