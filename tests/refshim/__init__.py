@@ -15,16 +15,16 @@ import sys
 import types
 
 REFERENCE_DATA_UTILS = "/root/reference/climsim_utils/data_utils.py"
+REFERENCE_EXPANSION = ("/root/reference/online_testing/data_preparation/"
+                       "expand_feature/climsim_adding_input.py")
 
-_cached = None
+_cache: dict = {}
 
 
-def load_data_utils():
-    """Import the reference data_utils module under the shim, once."""
-    global _cached
-    if _cached is not None:
-        return _cached
-    if not os.path.exists(REFERENCE_DATA_UTILS):
+def _load_under_shim(path: str, modname: str):
+    if modname in _cache:
+        return _cache[modname]
+    if not os.path.exists(path):
         return None
 
     from . import xrmini
@@ -39,8 +39,7 @@ def load_data_utils():
         saved[name] = sys.modules.get(name)
         sys.modules[name] = mod
     try:
-        spec = importlib.util.spec_from_file_location(
-            "_reference_data_utils", REFERENCE_DATA_UTILS)
+        spec = importlib.util.spec_from_file_location(modname, path)
         module = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(module)
     finally:
@@ -49,5 +48,16 @@ def load_data_utils():
                 del sys.modules[name]
             else:
                 sys.modules[name] = prev
-    _cached = module
+    _cache[modname] = module
     return module
+
+
+def load_data_utils():
+    """Import the reference data_utils module under the shim, once."""
+    return _load_under_shim(REFERENCE_DATA_UTILS, "_reference_data_utils")
+
+
+def load_expansion_module():
+    """Import the reference mlexpand feature-expansion script under the
+    shim (climsim_adding_input.py)."""
+    return _load_under_shim(REFERENCE_EXPANSION, "_reference_expansion")

@@ -135,6 +135,8 @@ class DataArray:
         return self.data[key]
 
     def __setitem__(self, key, value):
+        if isinstance(value, DataArray):
+            value = value.data
         self.data[key] = value
 
     def mean(self, dim=None):
@@ -273,6 +275,24 @@ class Dataset:
             parts.append(data.reshape(data.shape[0], -1))
         return DataArray(np.concatenate(parts, axis=1),
                          (sample, new_dim), name)
+
+    def to_netcdf(self, path):
+        """Write as classic CDF-1 via scipy (enough for the expansion
+        script's mlexpand output, climsim_adding_input.py:81)."""
+        from scipy.io import netcdf_file
+
+        f = netcdf_file(path, "w")
+        dims = {}
+        for v in self._vars.values():
+            for d, s in zip(v.dims, v.data.shape):
+                dims.setdefault(d, s)
+        for d, s in dims.items():
+            f.createDimension(d, s)
+        for k, v in self._vars.items():
+            var = f.createVariable(k, "f8", v.dims)
+            var[:] = np.asarray(v.data, np.float64)
+        f.flush()
+        f.close()
 
     def _binop(self, other, op):
         out = Dataset()

@@ -30,8 +30,9 @@ def write_nc(path, vars2d, vars1d, lev=LEV, ncol=NCOL):
     f.close()
 
 
-def make_tree(root, grid, nsteps=6, seed=0):
+def make_tree(root, grid, nsteps=6, seed=0, ncol=None):
     """Create `nsteps` mli/mlo pairs under root (a YYYY-MM subdir)."""
+    NCOL = ncol or globals()["NCOL"]
     rng = np.random.default_rng(seed)
     root.mkdir(parents=True, exist_ok=True)
     lev_frac = (np.arange(LEV) + 0.5) / LEV
@@ -73,7 +74,8 @@ def make_tree(root, grid, nsteps=6, seed=0):
             "lon": grid.lon[:NCOL],
         }
         stamp = f"0001-02-01-{t * 1200:05d}"
-        write_nc(str(root / f"E3SM-MMF.mli.{stamp}.nc"), t2d, t1d)
+        write_nc(str(root / f"E3SM-MMF.mli.{stamp}.nc"), t2d, t1d,
+                 ncol=NCOL)
         o2d = {k: v + (1e-3 * np.abs(v) if k.startswith("state") else 0)
                for k, v in t2d.items()}
         out1d = {
@@ -87,5 +89,6 @@ def make_tree(root, grid, nsteps=6, seed=0):
             "cam_out_SOLLD": 50 * np.random.default_rng(t + 7).random(NCOL),
             "lat": grid.lat[:NCOL], "lon": grid.lon[:NCOL],
         }
-        write_nc(str(root / f"E3SM-MMF.mlo.{stamp}.nc"), o2d, out1d)
+        write_nc(str(root / f"E3SM-MMF.mlo.{stamp}.nc"), o2d, out1d,
+                 ncol=NCOL)
     return str(root.parent)

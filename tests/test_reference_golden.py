@@ -22,7 +22,7 @@ import os
 import numpy as np
 import pytest
 
-from refshim import load_data_utils
+from refshim import load_data_utils, load_expansion_module
 from refshim import xrmini as xr
 from synthnc import NCOL, make_tree
 
@@ -164,6 +164,58 @@ def test_ingest_parity_raw(ncdir, grid, norm_datasets, tmp_path, version):
     np.testing.assert_allclose(own_y, ref_y, rtol=1e-6, atol=1e-30)
 
 
+@pytest.mark.parametrize("version", ["v4", "v5"])
+def test_ingest_parity_expanded_window(tmp_path, norm_datasets, version):
+    """v4/v5 expanded-feature ingest: the REFERENCE expansion script
+    (climsim_adding_input.py, run unmodified under the shim) writes
+    mlexpand files consumed by the reference data_utils; our in-memory
+    3-file-window expansion must produce identical shards.  384 columns
+    because the script hardcodes icol = arange(1, 385)."""
+    grid384 = synthetic_grid(ncol=384)
+    ncdir = make_tree(tmp_path / "tree" / "0001-02", grid384, nsteps=5,
+                      seed=4, ncol=384)
+    import glob as globmod
+
+    files = sorted(globmod.glob(os.path.join(ncdir, "*", "E3SM-MMF.mli.*")))
+    assert len(files) == 5
+
+    # --- reference expansion (i >= 2 has a full window) -------------------
+    expand = load_expansion_module()
+    lat = xr.DataArray(grid384.lat, ("ncol",))
+    lon = xr.DataArray(grid384.lon, ("ncol",))
+    for i in range(2, len(files)):
+        expand.process_one_file((i, files, lat, lon, "mli", "mlo",
+                                 "mlexpand"))
+
+    # --- reference ingest over the mlexpand files --------------------------
+    mean, maxx, minn, scale = norm_datasets
+    du = refmod.data_utils(
+        grid_info=grid_dataset(grid384), input_mean=mean, input_max=maxx,
+        input_min=minn, output_scale=scale, ml_backend="pytorch",
+        normalize=False, input_abbrev="mlexpand")
+    getattr(du, f"set_to_{version}_vars")()
+    du.data_path = ncdir + "/"
+    du.set_regexps("train", ["E3SM-MMF.mlexpand.*.nc"])
+    du.set_stride_sample("train", 1)
+    du.set_filelist("train")  # drops the last expanded file (end_idx=-1)
+    assert len(du.train_filelist) == 2
+    out = os.path.join(str(tmp_path), f"ref_{version}")
+    du.save_as_npy("train", save_path=out)
+    ref_x = np.load(os.path.join(out, "train_input.npy"))
+    ref_y = np.load(os.path.join(out, "train_target.npy"))
+
+    # --- our in-memory window expansion over the ORIGINAL mli files --------
+    spec = get_varspec(version)
+    own = ingest.build_split(files[:4], spec, str(tmp_path / "own"),
+                             "train", grid=grid384, window=True)
+    own_x = np.load(own["input"])
+    own_y = np.load(own["target"])
+    assert ref_x.shape == own_x.shape == (2 * 384, spec.input_len)
+    assert ref_y.shape == own_y.shape == (2 * 384, spec.output_len)
+    np.testing.assert_allclose(own_x, ref_x, rtol=1e-6, atol=1e-30)
+    np.testing.assert_allclose(own_y, ref_y, rtol=1e-6, atol=1e-30)
+
+
 def test_ingest_parity_normalized(ncdir, grid, norm_datasets, tmp_path):
     """Normalized (v1) shards: reference normalize=True vs our in-jit
     transform on raw shards AND our build_split(stats=...) path."""
@@ -302,6 +354,40 @@ def test_weighting_parity_v2_full_vars(ncdir, grid, norm_datasets, tmp_path):
         np.testing.assert_allclose(
             tw[v], du.target_weighted_train[v], rtol=1e-6, atol=1e-25,
             err_msg=f"v2 weighting mismatch for {v}")
+
+
+def test_reshape_daily_parity(scored_v1, grid):
+    """Daily zonal means: ours vs the reference's reshape_daily
+    (data_utils.py:1609-1629), including its lat-group ordering."""
+    from climsim_tpu.eval.analysis import reshape_daily
+
+    du, x, y, preds = scored_v1
+    t = y.shape[0] // NCOL
+    spd = max(t, 1)  # tiny split: one "day" spanning all samples
+    # reference hardcodes 12 samples/day; feed it a multiple-of-12 block
+    n12 = (t // 12) * 12
+    if n12 == 0:
+        # replicate the tiny split to reach 12 timesteps
+        reps = -(-12 // t)
+        y_big = np.tile(y.reshape(t, NCOL, -1), (reps, 1, 1))[:12]
+        y_big = y_big.reshape(12 * NCOL, -1)
+    else:
+        y_big = y[: n12 * NCOL]
+    ref_t, ref_q = du.reshape_daily(y_big)
+    own_t, own_q = reshape_daily(np.asarray(y_big), grid,
+                                 samples_per_day=12)
+    # DELIBERATE DELTA: the reference sorts lat groups by FIRST COLUMN
+    # INDEX (data_utils.py:139 indices_list.sort(key=lambda x: x[0])),
+    # which does not match the ascending-lat labels its own plot applies;
+    # we use ascending latitude.  The math must agree up to that row
+    # permutation.
+    lats = np.unique(grid.lat)
+    groups = [np.nonzero(grid.lat == la)[0] for la in lats]
+    ref_order = np.argsort([g[0] for g in groups])  # ref row for each lat
+    np.testing.assert_allclose(own_t, ref_t[np.argsort(ref_order)],
+                               rtol=1e-6)
+    np.testing.assert_allclose(own_q, ref_q[np.argsort(ref_order)],
+                               rtol=1e-6)
 
 
 def test_crps_parity(scored_v1, grid):
