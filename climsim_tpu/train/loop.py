@@ -110,11 +110,29 @@ def fit(train_step, eval_step, state: TrainState, train_loader, val_loader,
         epochs: int, ckpt: TopKCheckpointer | None = None,
         plateau: PlateauController | None = None,
         early: EarlyStopping | None = None, verbose: bool = True,
-        history: History | None = None):
-    """Generic fit covering the reference trainers' control flow."""
+        history: History | None = None, fused: bool = True):
+    """Generic fit covering the reference trainers' control flow.
+
+    When the train loader supports it (DeviceResidentLoader), each epoch
+    runs as ONE fused lax.scan dispatch (permutation + gather + step;
+    bit-identical to the per-step loop) -- per-epoch host work
+    (validation, plateau LR, checkpointing, early stop) is unchanged.
+    Pass fused=False to force the per-step path.
+    """
     history = history if history is not None else History()
+    runner = (train_loader.make_epoch_runner(train_step)
+              if fused and hasattr(train_loader, "make_epoch_runner")
+              else None)
     for epoch in range(epochs):
-        state, train_loss, sps = run_epoch(train_step, state, train_loader)
+        if runner is not None:
+            t0 = time.perf_counter()
+            state, m = runner(state, 1)
+            train_loss = float(jax.device_get(m["loss"][0]))
+            n = train_loader.steps_per_epoch * train_loader.batch_size
+            sps = n / max(time.perf_counter() - t0, 1e-9)
+        else:
+            state, train_loss, sps = run_epoch(train_step, state,
+                                               train_loader)
         val_loss = (evaluate(eval_step, state.params, val_loader)
                     if val_loader is not None else np.nan)
         if plateau is not None and np.isfinite(val_loss):

@@ -196,3 +196,30 @@ def test_build_split_window_stride_uses_adjacent_neighbors(ncdir, tmp_path):
     want = ((mli5["state_t"] - mlo4["state_t"]) / 1200.0).T
     sl = spec.input_slices["state_t_dyn"]
     np.testing.assert_allclose(x[NCOL:, sl], want, rtol=1e-4)
+
+
+def test_build_split_h5_aggregation(ncdir, tmp_path):
+    """save_h5=True writes the h5 shard layout H5ShardDataset consumes
+    (the reference's h5 aggregation flow,
+    create_dataset_example_v2rh.ipynb cells 4-13): h5 contents must equal
+    the npy shards bit-for-bit."""
+    import h5py
+
+    from climsim_tpu.data.h5dataset import H5ShardDataset
+
+    spec = get_varspec("v1")
+    fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=2)
+    out = ingest.build_split(fl, spec, str(tmp_path / "chunk0"), "train",
+                             save_npy=True, save_h5=True)
+    x_npy = np.load(out["input"])
+    y_npy = np.load(out["target"])
+    with h5py.File(out["input_h5"]) as f:
+        np.testing.assert_array_equal(f["data"][:], x_npy)
+    with h5py.File(out["target_h5"]) as f:
+        np.testing.assert_array_equal(f["data"][:], y_npy)
+
+    ds = H5ShardDataset(str(tmp_path))
+    assert len(ds) == x_npy.shape[0]
+    xi, yi = ds[3]
+    np.testing.assert_array_equal(xi, x_npy[3])
+    np.testing.assert_array_equal(yi, y_npy[3])

@@ -27,8 +27,9 @@ from refshim import xrmini as xr
 from synthnc import NCOL, make_tree
 
 from climsim_tpu.data import ingest
-from climsim_tpu.data.transforms import make_input_transform, \
-    make_target_transform
+from climsim_tpu.data.transforms import (channelize_input,
+    channelize_target, dechannelize_output, make_input_transform,
+    make_target_transform)
 from climsim_tpu.eval import metrics as own_metrics
 from climsim_tpu.eval.weighting import pressure_thickness_from_inputs, \
     weight_outputs
@@ -406,3 +407,26 @@ def test_crps_parity(scored_v1, grid):
     sc_s = sc_t[..., None] + 0.3 * rng.standard_normal((t, NCOL, 8))
     np.testing.assert_allclose(own_metrics.crps(sc_s, sc_t),
                                du.calc_CRPS(sc_s, sc_t), rtol=1e-9)
+
+
+def test_cnn_reshape_adapters_parity():
+    """channelize_input / channelize_target / dechannelize_output vs the
+    reference's reshape_{input,target}_for_cnn / reshape_target_from_cnn
+    (data_utils.py:1692-1760) on v1 arrays."""
+    spec = get_varspec("v1")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(17, spec.input_len)).astype(np.float32)
+    y = rng.normal(size=(17, spec.output_len)).astype(np.float32)
+
+    ref_x = refmod.data_utils.reshape_input_for_cnn(x)
+    own_x = np.asarray(channelize_input(x, spec))
+    np.testing.assert_array_equal(own_x, ref_x)
+
+    ref_y = refmod.data_utils.reshape_target_for_cnn(y)
+    own_y = np.asarray(channelize_target(y, spec))
+    np.testing.assert_array_equal(own_y, ref_y)
+
+    y_ch = rng.normal(size=(17, 60, 10)).astype(np.float32)
+    ref_back = refmod.data_utils.reshape_target_from_cnn(y_ch)
+    own_back = np.asarray(dechannelize_output(y_ch, spec))
+    np.testing.assert_allclose(own_back, ref_back, rtol=1e-6, atol=1e-7)
