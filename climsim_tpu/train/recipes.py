@@ -33,6 +33,8 @@ class Trainer:
     predict: Callable           # params, raw inputs -> normalized preds
     sample: Callable | None = None  # stochastic models: (params, x, rng, S)
     input_transform: Callable | None = None
+    apply: Callable | None = None   # pure jittable (params, x_raw) -> preds
+                                    # (what predict wraps with host batching)
 
 
 def _optimizer(schedule, optimizer_name: str = "adam", clip: float | None = None):
@@ -122,6 +124,7 @@ def _common(model, spec, stats, cfg, rules, rng, sample_batch,
         eval_step=make_eval_step(loss_fn, rules),
         predict=make_predict_fn(apply_norm, rules),
         input_transform=in_t,
+        apply=apply_norm,
     )
 
 
@@ -244,7 +247,7 @@ def cnn_trainer(spec, stats, sample_batch, rng, rules=None,
                    train_step=make_train_step(loss_fn, opt, rules),
                    eval_step=make_eval_step(loss_fn, rules),
                    predict=make_predict_fn(apply_norm, rules),
-                   input_transform=in_t)
+                   input_transform=in_t, apply=apply_norm)
 
 
 def hsr_trainer(spec, stats, sample_batch, rng, rules=None, hidden=1024,
@@ -286,7 +289,7 @@ def hsr_trainer(spec, stats, sample_batch, rng, rules=None, hidden=1024,
                  train_step=make_train_step(make_loss(True), opt, rules),
                  eval_step=make_eval_step(make_loss(False), rules),
                  predict=make_predict_fn(apply_norm, rules),
-                 sample=sample, input_transform=in_t)
+                 sample=sample, input_transform=in_t, apply=apply_norm)
     tr.stage2_step = make_train_step(make_loss(False), opt, rules)
     return tr
 
@@ -325,7 +328,7 @@ def cvae_trainer(spec, stats, sample_batch, rng, rules=None, latent=8,
                    train_step=make_train_step(loss_fn, opt, rules),
                    eval_step=make_eval_step(loss_fn, rules),
                    predict=make_predict_fn(apply_norm, rules),
-                   sample=sample, input_transform=in_t)
+                   sample=sample, input_transform=in_t, apply=apply_norm)
 
 
 def unet_trainer(spec, stats, sample_batch, rng, rules=None,
@@ -405,4 +408,4 @@ def unet_classifier_trainer(spec, stats, sample_batch, rng, rules=None,
                    train_step=make_train_step(loss_fn, opt, rules),
                    eval_step=make_eval_step(loss_fn, rules),
                    predict=make_predict_fn(apply_prob, rules),
-                   input_transform=in_t)
+                   input_transform=in_t, apply=apply_prob)
