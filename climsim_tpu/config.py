@@ -44,6 +44,8 @@ class TrainConfig:
     early_stop_patience: int = 0
     plateau_patience: int = 0
     num_data_shards: int = 0          # 0 = all local devices
+    seeds: list = field(default_factory=list)   # >1: multi-seed vmapped run
+    lr_scales: list = field(default_factory=list)  # per-seed LR multipliers
 
 
 @dataclass

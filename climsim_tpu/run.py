@@ -163,6 +163,53 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         return dict(trainer=tr, params=params, stats=stats, spec=spec,
                     history=history, grid=grid)
 
+    if len(cfg.train.seeds) > 1:
+        # multi-seed vmapped run: K replicas advance in one jitted step
+        # (train/multiseed.py); per-seed val losses, stacked checkpoint
+        from .train.loop import History
+        from .train.multiseed import multiseed
+
+        sample = (np.asarray(x_tr[:4]), np.asarray(y_tr[:4]))
+        ms = multiseed(
+            lambda sp, st, sa, r: build_trainer(cfg, sp, st, sa, r,
+                                                None, steps, grid),
+            spec, stats, sample, list(cfg.train.seeds),
+            lr_scales=list(cfg.train.lr_scales) or None)
+        loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size,
+                             seed=cfg.data.seed)
+        ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
+                if cfg.train.checkpoint_dir else None)
+        history = History()
+        state = ms.state
+        for epoch in range(cfg.train.epochs):
+            for xb, yb in loader:
+                state, m = ms.train_step(state, xb, yb)
+            train_losses = np.asarray(jax.device_get(m["loss"]))
+            val_losses = np.full(ms.num_seeds, np.nan)
+            if n_val:
+                vls = []
+                for s in range(0, x_val.shape[0] - cfg.data.batch_size + 1,
+                               cfg.data.batch_size):
+                    vb = slice(s, s + cfg.data.batch_size)
+                    vls.append(np.asarray(jax.device_get(ms.eval_step(
+                        state.params, np.asarray(x_val[vb]),
+                        np.asarray(y_val[vb]))["loss"])))
+                val_losses = np.mean(vls, axis=0)
+            history.log(epoch=epoch,
+                        train_loss=float(train_losses.mean()),
+                        val_loss=float(np.nanmean(val_losses)))
+            if ckpt is not None and np.all(np.isfinite(val_losses)):
+                ckpt.maybe_save(float(val_losses.mean()), epoch,
+                                state.params)
+                ckpt.save_last(epoch, state.params)
+            if verbose:
+                per = ", ".join(f"{s}:{v:.5f}" for s, v in
+                                zip(cfg.train.seeds, val_losses))
+                print(f"epoch {epoch}: train {train_losses.mean():.5f} "
+                      f"val per-seed [{per}]")
+        return dict(trainer=ms, state=state, history=history, stats=stats,
+                    spec=spec, grid=grid)
+
     tr = build_trainer(cfg, spec, stats, (np.asarray(x_tr[:4]),
                                           np.asarray(y_tr[:4])), rng,
                        rules, steps, grid)

@@ -101,3 +101,21 @@ def test_multiseed_stochastic_and_sharded(data):
     st, m2 = ms2.train_step(ms2.state, *rules.shard_batch(x[:256], y[:256]))
     assert m2["loss"].shape == (4,)
     assert np.all(np.isfinite(np.asarray(m2["loss"])))
+
+
+def test_run_experiment_multiseed(tmp_path):
+    """Runner-level multi-seed flow: config with train.seeds trains K
+    replicas and checkpoints the stacked params."""
+    from climsim_tpu.config import PRESETS
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["mlp_v1"].override(
+        "train.epochs=2", "data.num_synthetic=1024",
+        "data.batch_size=256", 'model_kw={"hidden": [32]}',
+        "train.seeds=[0, 7]", f'train.checkpoint_dir="{tmp_path}/ck"')
+    out = run_experiment(cfg, verbose=False)
+    assert out["trainer"].num_seeds == 2
+    assert len(out["history"].rows) == 2
+    leaves = jax.tree.leaves(jax.device_get(out["state"].params))
+    assert all(l.shape[0] == 2 for l in leaves)
+    assert out["trainer"].trainers[0] is not out["trainer"].trainers[1]
