@@ -109,3 +109,69 @@ class TimedCheckpointer:
         save_pytree(self.path, tree)
         self._last = now
         return True
+
+
+class OrbaxCheckpointer:
+    """Async, sharded checkpointing via orbax -- the production path for
+    params too large (or too sharded) for the host-gathering msgpack
+    manager above.  Saves run in a background thread (training continues
+    during the write); restore takes an abstract target built from ANY
+    mesh, so a run checkpointed on an 8-chip mesh resumes on 2 chips or
+    1 (elastic recovery -- neither the reference nor its Modulus stack
+    supports resharding restores; tested in tests/test_checkpoints.py).
+
+    Reference analog: the .mdlus save/from_checkpoint pair
+    (train_unet_h5loader.py:296-307,513) -- which is synchronous and
+    single-device.
+    """
+
+    def __init__(self, directory: str, async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                       if async_save
+                       else ocp.Checkpointer(ocp.StandardCheckpointHandler()))
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step}")
+
+    def save(self, step: int, tree) -> None:
+        self._ckptr.save(self._path(step),
+                         args=self._ocp.args.StandardSave(tree))
+
+    def wait(self) -> None:
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+
+    def steps(self) -> list[int]:
+        out = []
+        for d in os.listdir(self.directory):
+            if d.startswith("step_"):
+                out.append(int(d.split("_", 1)[1]))
+        return sorted(out)
+
+    def restore(self, template, step: int | None = None, sharding=None):
+        """Restore ``step`` (default: latest).  ``template`` supplies the
+        pytree structure/shapes/dtypes; ``sharding`` (a jax Sharding or a
+        pytree of them) lays the restored arrays out on the CURRENT mesh,
+        which may differ from the saving run's."""
+        self.wait()
+        if step is None:
+            ss = self.steps()
+            if not ss:
+                return None
+            step = ss[-1]
+
+        def abstract(leaf, shard):
+            x = jax.api_util.shaped_abstractify(leaf)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=shard)
+
+        if sharding is None or not isinstance(sharding, (list, dict, tuple)):
+            target = jax.tree.map(lambda l: abstract(l, sharding), template)
+        else:
+            target = jax.tree.map(abstract, template, sharding)
+        return self._ckptr.restore(
+            self._path(step), args=self._ocp.args.StandardRestore(target))
