@@ -56,6 +56,55 @@ def make_mesh(num_data: int | None = None, num_model: int = 1,
                 axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(num_model: int = 1, devices=None,
+                         slice_indices=None) -> Mesh:
+    """(data, model) mesh across MULTIPLE TPU slices, laid out so the
+    traffic matches the interconnect hierarchy:
+
+      * the ``data`` axis spans slices -- its only collective is the
+        gradient psum, whose ring all-reduce tolerates the slower DCN
+        links between slices;
+      * the ``model`` axis (ensemble members / seed replicas, which may
+        exchange activations) stays INSIDE a slice, riding ICI.
+
+    Devices are grouped by their ``slice_index`` attribute (present on
+    real multi-slice TPU platforms); ``slice_indices`` overrides the
+    grouping explicitly (manual topologies, or testing on CPU devices
+    that carry no slice_index).  Each slice must contribute the same
+    device count, and ``num_model`` must divide the per-slice count.  On
+    single-slice or CPU platforms (no slice_index) this degrades to
+    make_mesh.  The device matrix is ordered slice-major on the data
+    axis, so rows [i*per_slice_data : (i+1)*per_slice_data) of a batch
+    land wholly inside slice i -- only gradient reductions cross DCN,
+    never batch data.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if slice_indices is not None:
+        assert len(slice_indices) == len(devices)
+    slices: dict[int, list] = {}
+    for i, d in enumerate(devices):
+        k = (slice_indices[i] if slice_indices is not None
+             else getattr(d, "slice_index", 0))
+        slices.setdefault(k, []).append(d)
+    if len(slices) == 1:
+        return make_mesh(num_model=num_model, devices=devices)
+    per = {k: len(v) for k, v in slices.items()}
+    if len(set(per.values())) != 1:
+        raise ValueError(f"uneven slices: {per}")
+    n_slice = len(slices)
+    per_slice = next(iter(per.values()))
+    if per_slice % num_model:
+        raise ValueError(
+            f"num_model={num_model} must divide per-slice count {per_slice}")
+    rows = []
+    for k in sorted(slices):
+        # within a slice: data-major rows of the (data, model) sub-grid
+        rows.append(np.asarray(slices[k]).reshape(-1, num_model))
+    grid = np.concatenate(rows, axis=0)  # (n_slice*per_slice_data, model)
+    assert grid.shape == (n_slice * per_slice // num_model, num_model)
+    return Mesh(grid, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
 @dataclass(frozen=True)
 class ShardingRules:
     """Canonical shardings for the training step."""
