@@ -127,6 +127,63 @@ class BatchLoader:
             yield item
 
 
+class ChunkedLoader(BatchLoader):
+    """Streaming loader that yields SUPERBATCHES of ``steps_per_chunk``
+    batches, shaped (K, B, D), for multi-step fused dispatch.
+
+    The beyond-HBM analog of DeviceResidentLoader.make_epoch_runner: when
+    the split cannot live on device (the 41 TB high-res dataset), the
+    host still streams, but the device executes K train steps per
+    dispatch via ``make_chunk_runner`` -- one host round-trip per K
+    steps, with the NEXT superbatch prefetched by the background thread
+    while the current one trains.  Epoch permutation and batch order are
+    identical to BatchLoader with the same seed (K*B rows per draw,
+    consumed K steps at a time).
+    """
+
+    def __init__(self, inputs, targets, batch_size: int,
+                 steps_per_chunk: int = 8, rules=None, shuffle=True,
+                 seed: int = 0, prefetch: int = 2):
+        super().__init__(inputs, targets, batch_size * steps_per_chunk,
+                         rules, shuffle, seed, prefetch)
+        self.micro_batch = batch_size
+        self.steps_per_chunk = steps_per_chunk
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.plan.steps * self.steps_per_chunk
+
+    def _produce(self, q: queue.Queue):
+        k, b = self.steps_per_chunk, self.micro_batch
+        try:
+            for idx in self._index_stream():
+                xb = self.inputs[idx].reshape(k, b, -1)
+                yb = self.targets[idx].reshape(k, b, -1)
+                if self.rules is not None:
+                    xb, yb = self.rules.shard_batch(xb, yb)
+                else:
+                    xb = jax.device_put(xb)
+                    yb = jax.device_put(yb)
+                q.put((xb, yb))
+        finally:
+            q.put(None)
+
+    def make_chunk_runner(self, train_step):
+        """run(state, xc, yc) executing the K steps of one superbatch in
+        a single lax.scan dispatch; metrics are per-chunk means."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        def run(state, xc, yc):
+            def body(st, xy):
+                return train_step(st, xy[0], xy[1])
+
+            state, ms = lax.scan(body, state, (xc, yc))
+            return state, jax.tree.map(lambda a: jnp.mean(a, axis=0), ms)
+
+        return jax.jit(run, donate_argnums=(0,))
+
+
 class BootstrapLoader(BatchLoader):
     """Per-member bootstrap batches for ensemble training (RPN pattern,
     rpn_model_v1_data.py:134-144): each draw yields (E, B, D) stacks where

@@ -117,3 +117,22 @@ def plot_metric_bars(tables: dict, metric: str = "MAE",
         fig.savefig(save_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return fig
+
+
+def set_plot_params(font_size: int = 32, linewidth: int = 2):
+    """Publication plot defaults (data_utils.set_plot_params :999-1017)."""
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+    plt.rcParams.update(plt.rcParamsDefault)
+    plt.rc("font", family="sans")
+    plt.rcParams.update({
+        "font.size": font_size,
+        "lines.linewidth": linewidth,
+        "axes.labelsize": font_size,
+        "axes.titlesize": font_size,
+        "xtick.labelsize": font_size,
+        "ytick.labelsize": font_size,
+        "legend.fontsize": font_size,
+        "axes.linewidth": linewidth,
+    })

@@ -342,3 +342,42 @@ def test_fit_uses_fused_runner(data):
     tl_p, vl_p = once(False)
     np.testing.assert_allclose(tl_f, tl_p, rtol=1e-5)
     np.testing.assert_allclose(vl_f, vl_p, rtol=1e-5)
+
+
+def test_chunked_loader_matches_batch_loader(data):
+    """ChunkedLoader + make_chunk_runner (K steps per dispatch, for
+    beyond-HBM streaming) must reproduce the per-step BatchLoader run:
+    same permutation, same batch order, same final params."""
+    from climsim_tpu.data.pipeline import ChunkedLoader
+
+    x, y, stats = data
+    x, y = x[:2048], y[:2048]
+    rng = jax.random.PRNGKey(21)
+
+    def make():
+        return recipes.mlp_trainer(SPEC, stats, (x, y), rng,
+                                   hidden=(64,), steps_per_epoch=8)
+
+    tr_a = make()
+    bl = BatchLoader(x, y, 256, seed=6)
+    st_a = tr_a.state
+    n_a = 0
+    for xb, yb in bl:
+        st_a, m_a = tr_a.train_step(st_a, xb, yb)
+        n_a += 1
+
+    tr_b = make()
+    cl = ChunkedLoader(x, y, 256, steps_per_chunk=4, seed=6)
+    run = cl.make_chunk_runner(tr_b.train_step)
+    st_b = tr_b.state
+    n_b = 0
+    for xc, yc in cl:
+        assert xc.shape[:2] == (4, 256)
+        st_b, m_b = run(st_b, xc, yc)
+        n_b += 4
+    assert n_a == n_b == cl.steps_per_epoch
+
+    pa = jax.tree.leaves(jax.device_get(st_a.params))
+    pb = jax.tree.leaves(jax.device_get(st_b.params))
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
