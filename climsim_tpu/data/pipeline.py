@@ -81,6 +81,10 @@ class BatchLoader:
                 "multi-process loading needs ShardingRules"
             assert batch_size % self.pcount == 0, \
                 (batch_size, self.pcount)
+            # a remainder batch is not divisible by pcount, so
+            # local_indices would silently drop rows of it
+            assert drop_remainder, \
+                "multi-process loading requires drop_remainder=True"
 
     def local_indices(self, global_batch_idx: np.ndarray) -> np.ndarray:
         """The rows of a global batch this process contributes: contiguous
@@ -146,8 +150,20 @@ class ChunkedLoader(BatchLoader):
                  seed: int = 0, prefetch: int = 2):
         super().__init__(inputs, targets, batch_size * steps_per_chunk,
                          rules, shuffle, seed, prefetch)
+        assert self.pcount == 1, \
+            "ChunkedLoader is single-process; use BatchLoader(process_*) " \
+            "for the multi-host input path"
         self.micro_batch = batch_size
         self.steps_per_chunk = steps_per_chunk
+        # superbatches are (K, B, D): the BATCH axis (1) shards over the
+        # mesh data axis, the step axis (0) stays whole so each scan
+        # iteration owns a fully data-sharded micro-batch
+        self._chunk_sharding = None
+        if rules is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._chunk_sharding = NamedSharding(
+                rules.mesh, PartitionSpec(None, "data"))
 
     @property
     def steps_per_epoch(self) -> int:
@@ -159,11 +175,8 @@ class ChunkedLoader(BatchLoader):
             for idx in self._index_stream():
                 xb = self.inputs[idx].reshape(k, b, -1)
                 yb = self.targets[idx].reshape(k, b, -1)
-                if self.rules is not None:
-                    xb, yb = self.rules.shard_batch(xb, yb)
-                else:
-                    xb = jax.device_put(xb)
-                    yb = jax.device_put(yb)
+                xb = jax.device_put(xb, self._chunk_sharding)
+                yb = jax.device_put(yb, self._chunk_sharding)
                 q.put((xb, yb))
         finally:
             q.put(None)

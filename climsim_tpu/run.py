@@ -135,7 +135,9 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
                 params, opt_state, l = tr.train_step(
                     params, opt_state, tr.prior, xb, yb)
                 losses.append(l)
-                n_seen += xb.shape[1] * xb.shape[0]
+                # data rows per step (xb is (E, B, D); counting E*B would
+                # inflate the rate 32x vs every other path's accounting)
+                n_seen += xb.shape[1]
             train_loss = float(np.mean(
                 [np.mean(np.asarray(l)) for l in losses]))
             sps = n_seen / max(_time.perf_counter() - t0, 1e-9)
@@ -163,41 +165,75 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         return dict(trainer=tr, params=params, stats=stats, spec=spec,
                     history=history, grid=grid)
 
-    if len(cfg.train.seeds) > 1:
+    if cfg.train.seeds:
         # multi-seed vmapped run: K replicas advance in one jitted step
-        # (train/multiseed.py); per-seed val losses, stacked checkpoint
-        from .train.loop import History
+        # (train/multiseed.py).  Mirrors fit()'s control flow: per-seed
+        # val losses, HSR staged-loss switch, plateau LR on the mean val
+        # loss (composed with per-seed lr_scales), early stop, stacked
+        # checkpoints.  A single-element seeds list still takes this
+        # path, so train.seeds/lr_scales are always honored.
+        import jax.numpy as jnp
+
+        from .train.loop import EarlyStopping, History, PlateauController
         from .train.multiseed import multiseed
 
         sample = (np.asarray(x_tr[:4]), np.asarray(y_tr[:4]))
+        base_scales = np.asarray(
+            list(cfg.train.lr_scales) or [1.0] * len(cfg.train.seeds),
+            np.float32)
         ms = multiseed(
+            # inner trainers unsharded: multiseed lays out the STACKED
+            # state (seed axis over mesh model, replicated over data)
             lambda sp, st, sa, r: build_trainer(cfg, sp, st, sa, r,
                                                 None, steps, grid),
             spec, stats, sample, list(cfg.train.seeds),
-            lr_scales=list(cfg.train.lr_scales) or None)
-        loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size,
+            rules=rules, lr_scales=base_scales.tolist())
+        loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size, rules,
                              seed=cfg.data.seed)
         ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
                 if cfg.train.checkpoint_dir else None)
+        plateau = (PlateauController(cfg.train.plateau_patience)
+                   if cfg.train.plateau_patience else None)
+        early = (EarlyStopping(cfg.train.early_stop_patience)
+                 if cfg.train.early_stop_patience else None)
+        stage1 = (cfg.train.epochs // 3
+                  if cfg.model == "hsr" and cfg.train.epochs >= 3 else None)
         history = History()
         state = ms.state
         for epoch in range(cfg.train.epochs):
+            step_fn = (ms.stage2_step
+                       if stage1 is not None and epoch >= stage1
+                       else ms.train_step)
+            tls = []
             for xb, yb in loader:
-                state, m = ms.train_step(state, xb, yb)
-            train_losses = np.asarray(jax.device_get(m["loss"]))
+                state, m = step_fn(state, xb, yb)
+                tls.append(np.asarray(jax.device_get(m["loss"])))
+            if not tls:
+                raise ValueError(
+                    "no training batches: fewer train rows "
+                    f"({x_tr.shape[0]}) than batch_size "
+                    f"({cfg.data.batch_size})")
+            train_losses = np.mean(tls, axis=0)
             val_losses = np.full(ms.num_seeds, np.nan)
             if n_val:
                 vls = []
                 for s in range(0, x_val.shape[0] - cfg.data.batch_size + 1,
                                cfg.data.batch_size):
                     vb = slice(s, s + cfg.data.batch_size)
+                    xv, yv = np.asarray(x_val[vb]), np.asarray(y_val[vb])
+                    if rules is not None:
+                        xv, yv = rules.shard_batch(xv, yv)
                     vls.append(np.asarray(jax.device_get(ms.eval_step(
-                        state.params, np.asarray(x_val[vb]),
-                        np.asarray(y_val[vb]))["loss"])))
+                        state.params, xv, yv)["loss"])))
                 val_losses = np.mean(vls, axis=0)
+            mean_val = float(np.nanmean(val_losses))
+            if plateau is not None and np.isfinite(mean_val):
+                scale = plateau.update(mean_val)
+                state = state.replace(
+                    lr_scale=jnp.asarray(base_scales * scale))
             history.log(epoch=epoch,
                         train_loss=float(train_losses.mean()),
-                        val_loss=float(np.nanmean(val_losses)))
+                        val_loss=mean_val)
             if ckpt is not None and np.all(np.isfinite(val_losses)):
                 ckpt.maybe_save(float(val_losses.mean()), epoch,
                                 state.params)
@@ -207,6 +243,9 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
                                 zip(cfg.train.seeds, val_losses))
                 print(f"epoch {epoch}: train {train_losses.mean():.5f} "
                       f"val per-seed [{per}]")
+            if early is not None and np.isfinite(mean_val) and \
+                    early.should_stop(mean_val):
+                break
         return dict(trainer=ms, state=state, history=history, stats=stats,
                     spec=spec, grid=grid)
 

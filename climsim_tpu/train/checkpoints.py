@@ -147,10 +147,16 @@ class OrbaxCheckpointer:
             self._ckptr.wait_until_finished()
 
     def steps(self) -> list[int]:
+        """Committed checkpoint steps.  Skips non-integer entries --
+        orbax's atomic-save temp dirs ('step_N.orbax-checkpoint-tmp-*')
+        from an in-flight or crashed save must not break
+        restore-latest."""
         out = []
         for d in os.listdir(self.directory):
             if d.startswith("step_"):
-                out.append(int(d.split("_", 1)[1]))
+                suffix = d.split("_", 1)[1]
+                if suffix.isdigit():
+                    out.append(int(suffix))
         return sorted(out)
 
     def restore(self, template, step: int | None = None, sharding=None):

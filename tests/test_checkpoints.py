@@ -98,3 +98,19 @@ def test_elastic_resume_smaller_mesh(tmp_path, data):
                     jax.tree.leaves(jax.device_get(st8b.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_orbax_steps_skips_tmp_dirs(tmp_path, data):
+    """A crashed/in-flight atomic save leaves step_N.orbax-checkpoint-tmp-*
+    dirs; restore-latest must skip them instead of crashing."""
+    import os
+
+    x, y, stats = data
+    tr = recipes.mlp_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(0),
+                             hidden=(32,), steps_per_epoch=2)
+    ck = OrbaxCheckpointer(str(tmp_path / "o"), async_save=False)
+    ck.save(3, jax.device_get(tr.state.params))
+    os.makedirs(tmp_path / "o" / "step_9.orbax-checkpoint-tmp-12345")
+    assert ck.steps() == [3]
+    got = ck.restore(jax.device_get(tr.state.params))
+    assert got is not None

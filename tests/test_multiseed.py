@@ -119,3 +119,33 @@ def test_run_experiment_multiseed(tmp_path):
     leaves = jax.tree.leaves(jax.device_get(out["state"].params))
     assert all(l.shape[0] == 2 for l in leaves)
     assert out["trainer"].trainers[0] is not out["trainer"].trainers[1]
+
+
+def test_run_experiment_single_seed_list_honored(tmp_path):
+    """train.seeds=[7] (one element) must still take the multi-seed path
+    so the seed and lr_scales are honored, not silently ignored."""
+    from climsim_tpu.config import PRESETS
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["mlp_v1"].override(
+        "train.epochs=1", "data.num_synthetic=512",
+        "data.batch_size=128", 'model_kw={"hidden": [32]}',
+        "train.seeds=[7]", "train.lr_scales=[0.5]")
+    out = run_experiment(cfg, verbose=False)
+    assert out["trainer"].num_seeds == 1
+    assert float(out["state"].lr_scale[0]) == 0.5
+
+
+def test_run_experiment_multiseed_hsr_staged():
+    """HSR multi-seed runs must honor the staged MSE->NLL switch
+    (stage2_step after epochs//3), matching the single-seed path."""
+    from climsim_tpu.config import PRESETS
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["hsr_v1"].override(
+        "train.epochs=3", "data.num_synthetic=512",
+        "data.batch_size=128", 'model_kw={"hidden": 32, "layers": 1}',
+        "train.seeds=[0, 1]")
+    out = run_experiment(cfg, verbose=False)
+    assert len(out["history"].rows) == 3
+    assert np.isfinite(out["history"].rows[-1]["train_loss"])

@@ -381,3 +381,36 @@ def test_chunked_loader_matches_batch_loader(data):
     pb = jax.tree.leaves(jax.device_get(st_b.params))
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_loader_sharded_batch_axis(data):
+    """Sharded superbatches partition the BATCH axis (1) over the data
+    mesh, not the step axis: the sharded chunked run equals the
+    unsharded one."""
+    from climsim_tpu.data.pipeline import ChunkedLoader
+
+    x, y, stats = data
+    x, y = x[:2048], y[:2048]
+    rng = jax.random.PRNGKey(22)
+    mesh = make_mesh(num_data=8, devices=jax.devices("cpu")[:8])
+    rules = ShardingRules(mesh)
+
+    def run_with(rules_):
+        tr = recipes.mlp_trainer(SPEC, stats, (x, y), rng, hidden=(64,),
+                                 rules=rules_, steps_per_epoch=8)
+        cl = ChunkedLoader(x, y, 256, steps_per_chunk=4, rules=rules_,
+                           seed=6)
+        run = cl.make_chunk_runner(tr.train_step)
+        st = tr.state
+        for xc, yc in cl:
+            if rules_ is not None:
+                assert xc.sharding.spec == (None, "data"), xc.sharding
+            st, m = run(st, xc, yc)
+        return float(jax.device_get(m["loss"]).mean()), st
+
+    l_sh, st_sh = run_with(rules)
+    l_lo, st_lo = run_with(None)
+    np.testing.assert_allclose(l_sh, l_lo, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(st_sh.params)),
+                    jax.tree.leaves(jax.device_get(st_lo.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
