@@ -98,8 +98,12 @@ def run_epoch(train_step, state: TrainState, loader, log_every: int = 0,
 
 
 def evaluate(eval_step, params, loader):
+    chunked = hasattr(loader, "steps_per_chunk")
     losses, weights = [], []
     for xb, yb in loader:
+        if chunked:  # (K, B, D) superbatch -> flat (K*B, D) eval batch
+            xb = xb.reshape(-1, xb.shape[-1])
+            yb = yb.reshape(-1, yb.shape[-1])
         m = eval_step(params, xb, yb)
         losses.append(float(jax.device_get(m["loss"])))
         weights.append(xb.shape[0])
@@ -123,8 +127,22 @@ def fit(train_step, eval_step, state: TrainState, train_loader, val_loader,
     runner = (train_loader.make_epoch_runner(train_step)
               if fused and hasattr(train_loader, "make_epoch_runner")
               else None)
+    # ChunkedLoader yields (K, B, D) superbatches -- they MUST go through
+    # the chunk runner, never the per-batch step (fused or not)
+    chunk_run = (train_loader.make_chunk_runner(train_step)
+                 if hasattr(train_loader, "make_chunk_runner") else None)
     for epoch in range(epochs):
-        if runner is not None:
+        if chunk_run is not None:
+            t0 = time.perf_counter()
+            losses, n = [], 0
+            for xc, yc in train_loader:
+                state, m = chunk_run(state, xc, yc)
+                losses.append(m["loss"])
+                n += xc.shape[0] * xc.shape[1]
+            train_loss = float(np.mean(
+                [float(jax.device_get(l)) for l in losses]))
+            sps = n / max(time.perf_counter() - t0, 1e-9)
+        elif runner is not None:
             t0 = time.perf_counter()
             state, m = runner(state, 1)
             train_loss = float(jax.device_get(m["loss"][0]))

@@ -414,3 +414,31 @@ def test_chunked_loader_sharded_batch_axis(data):
     for a, b in zip(jax.tree.leaves(jax.device_get(st_sh.params)),
                     jax.tree.leaves(jax.device_get(st_lo.params))):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_fit_with_chunked_loader(data):
+    """fit() must route ChunkedLoader superbatches through the chunk
+    runner (feeding (K,B,D) to a per-batch step would be wrong), and
+    match fit() over a plain BatchLoader on the same seed."""
+    from climsim_tpu.data.pipeline import ChunkedLoader
+
+    x, y, stats = data
+    x, y = x[:2048], y[:2048]
+    rng = jax.random.PRNGKey(23)
+
+    def once(loader_cls, **kw):
+        tr = recipes.ed_trainer(SPEC, stats, (x, y), rng,
+                                steps_per_epoch=8)
+        tl = loader_cls(x[:1536], y[:1536], 256, seed=4, **kw)
+        vl = loader_cls(x[1536:], y[1536:], 256, shuffle=False, **kw)
+        state, hist = fit(tr.train_step, tr.eval_step, tr.state, tl, vl,
+                          epochs=2, verbose=False)
+        return hist
+
+    h_ch = once(ChunkedLoader, steps_per_chunk=2)
+    h_bl = once(BatchLoader)
+    for rc, rb in zip(h_ch.rows, h_bl.rows):
+        np.testing.assert_allclose(rc["train_loss"], rb["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(rc["val_loss"], rb["val_loss"],
+                                   rtol=1e-5)
