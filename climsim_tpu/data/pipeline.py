@@ -69,6 +69,7 @@ class BatchLoader:
         self.batch_size = batch_size
         self.rules = rules
         self.shuffle = shuffle
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.plan = EpochPlan(inputs.shape[0], batch_size, drop_remainder)
@@ -85,6 +86,19 @@ class BatchLoader:
             # local_indices would silently drop rows of it
             assert drop_remainder, \
                 "multi-process loading requires drop_remainder=True"
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reset shuffle state to the start of ``epoch``.
+
+        Iterating advances the permutation RNG, so a loader re-created (or
+        reused) after a mid-epoch failure would otherwise replay the wrong
+        permutation.  Mirrors DistributedSampler.set_epoch
+        (train_unet_h5loader.py:356-357); used by train.elastic to resume
+        a run on a rebuilt mesh with bit-identical batch order.
+        """
+        self.rng = np.random.default_rng(self._seed)
+        for _ in range(epoch):
+            self.rng.permutation(self.inputs.shape[0])
 
     def local_indices(self, global_batch_idx: np.ndarray) -> np.ndarray:
         """The rows of a global batch this process contributes: contiguous
@@ -219,6 +233,17 @@ class BootstrapLoader(BatchLoader):
     def steps_per_epoch(self) -> int:
         return self._steps
 
+    def set_epoch(self, epoch: int) -> None:
+        """Reset to the start of ``epoch``, replaying the member-subset
+        draws init consumed so the stream is bit-identical."""
+        self.rng = np.random.default_rng(self._seed)
+        n = self.inputs.shape[0]
+        m = self.member_subsets.shape[1]
+        for _ in range(self.ensemble_size):
+            self.rng.choice(n, m, replace=False)
+        for _ in range(epoch * self._steps):
+            self.rng.choice(m, self.batch_size, replace=False)
+
     def _index_stream(self):
         m = self.member_subsets.shape[1]
         for _ in range(self._steps):
@@ -266,6 +291,7 @@ class DeviceResidentLoader:
         self.n = inputs.shape[0]
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self._seed = seed
         self._key = jax.random.PRNGKey(seed)
         self._sharding = sharding
         n, b = self.n, batch_size
@@ -293,6 +319,14 @@ class DeviceResidentLoader:
     @property
     def steps_per_epoch(self) -> int:
         return self.n // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reset the on-device permutation key to the start of ``epoch``
+        (one split per consumed epoch when shuffling; see BatchLoader)."""
+        self._key = self._jax.random.PRNGKey(self._seed)
+        if self.shuffle:
+            for _ in range(epoch):
+                self._key, _ = self._jax.random.split(self._key)
 
     def __iter__(self):
         if self.shuffle:

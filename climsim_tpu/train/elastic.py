@@ -1,0 +1,251 @@
+"""In-flight elastic training: survive device loss mid-run, no restart.
+
+The reference has NO failure detection or elastic recovery -- its story is
+checkpoint + manual warm restart (SURVEY.md section 5.3; restart_path at
+train_unet_h5loader.py:177-189).  ``elastic_fit`` adds the TPU-native
+in-flight story on top of that baseline:
+
+  * **detection** -- a failed chip surfaces as a runtime error on the next
+    dispatch or host transfer of the jitted step; ``elastic_fit`` catches
+    it (plus an optional injected :class:`DeviceFailure` for testing),
+  * **triage** -- :func:`probe_devices` health-checks every device with a
+    tiny independent transfer+compute and keeps the survivors,
+  * **recovery** -- a new (smaller) mesh is built from the survivors, the
+    trainer is re-instantiated through its factory (recompiling the step
+    for the new sharding), and the last epoch-boundary snapshot of the
+    full TrainState (params, opt state, step counter, RNG, LR scale) is
+    resharded onto the new mesh.  The interrupted epoch replays from its
+    start with bit-identical batch order (loaders expose ``set_epoch``,
+    the DistributedSampler.set_epoch analog).
+
+Semantics: exactly-once at epoch granularity -- completed epochs are never
+re-run; a partially-trained epoch is discarded and replayed.  Because the
+sharded step is numerically mesh-size-invariant (psum of identical shard
+partial sums; test_train_end2end.py::test_multi_device_matches_single),
+the recovered trajectory matches an uninterrupted run up to float
+reduction order.
+
+This degrades to the checkpoint-restart path when the process itself dies:
+pass a ``checkpointer`` (train.checkpoints.OrbaxCheckpointer) and each
+snapshot is also persisted; a fresh process calls ``elastic_fit`` with the
+same checkpointer and resumes from the last committed epoch on whatever
+devices exist.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import ShardingRules, make_mesh
+
+
+class DeviceFailure(RuntimeError):
+    """Raised (or injected) when devices are lost mid-run.
+
+    ``lost``: devices to treat as dead.  Real chip loss raises backend
+    errors instead (XlaRuntimeError etc.) -- those are caught too, and the
+    dead set is discovered by probing.
+    """
+
+    def __init__(self, message: str = "device failure", lost=()):
+        super().__init__(message)
+        self.lost = tuple(lost)
+
+
+def probe_devices(candidates=None) -> list:
+    """Health-check devices one by one; return the survivors.
+
+    Each probe is independent (per-device put + tiny reduce + host get),
+    so one dead chip cannot poison the others' checks.
+    """
+    healthy = []
+    for d in (jax.devices() if candidates is None else candidates):
+        try:
+            x = jax.device_put(np.arange(8, dtype=np.float32), d)
+            if float(np.asarray(jax.device_get(x)).sum()) == 28.0:
+                healthy.append(d)
+        except Exception:
+            continue
+    return healthy
+
+
+def usable_data_size(n_devices: int, num_model: int,
+                     global_batch: int) -> int:
+    """Largest data-axis size that (a) fits the healthy device count and
+    (b) evenly shards the global batch."""
+    for k in range(n_devices // num_model, 0, -1):
+        if global_batch % k == 0:
+            return k
+    raise ValueError(
+        f"no usable mesh: {n_devices} devices, num_model={num_model}, "
+        f"batch {global_batch}")
+
+
+@dataclass
+class ElasticReport:
+    """What happened during an elastic run (for logs/tests)."""
+
+    epochs_completed: int = 0
+    failures: int = 0
+    mesh_history: list = field(default_factory=list)  # [(num_data, num_model)]
+    epoch_losses: list = field(default_factory=list)
+    recovery_seconds: list = field(default_factory=list)
+
+
+def _snapshot(state):
+    """Full host copy of the TrainState (device -> numpy)."""
+    return jax.tree.map(np.asarray, state)
+
+
+def _restore(snapshot, fresh_state, rules: ShardingRules):
+    """Lay a host snapshot out on the (new) mesh, preserving dtypes and
+    weak types of the freshly-initialized state."""
+    tree = jax.tree.map(
+        lambda s, f: np.asarray(s, dtype=np.asarray(f).dtype),
+        snapshot, fresh_state)
+    return jax.device_put(tree, rules.replicated)
+
+
+def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
+                loader_factory: Callable[[ShardingRules], tuple],
+                epochs: int,
+                *,
+                devices=None,
+                num_model: int = 1,
+                max_failures: int = 3,
+                checkpointer=None,
+                fault_injector: Callable[[int, int], None] | None = None,
+                verbose: bool = False):
+    """Run ``epochs`` of training, surviving device loss in flight.
+
+    Parameters
+    ----------
+    trainer_factory : rules -> Trainer
+        Rebuilds the recipe for a given mesh (any train.recipes
+        constructor partially applied works).  Called once per mesh
+        (initial + after every recovery).
+    loader_factory : rules -> (train_loader, val_loader | None)
+        Rebuilds loaders on the new mesh.  Loaders must expose
+        ``set_epoch`` for bit-identical replay (all data.pipeline loaders
+        do).
+    epochs : int
+        Total epochs to complete (across failures).
+    devices : initial device list (default: all of jax.devices()).
+    num_model : mesh model-axis size to preserve across rebuilds.
+    max_failures : give up (re-raise) after this many recoveries.
+    checkpointer : optional OrbaxCheckpointer; snapshots are ALSO
+        persisted per epoch, and the run resumes from the last committed
+        epoch if one exists (process-restart recovery).
+    fault_injector : optional (epoch, step) -> None hook called before
+        every train step; raise :class:`DeviceFailure` from it to
+        simulate chip loss (tests).
+
+    Returns ``(state, report)`` -- the final TrainState (on the last mesh)
+    and an :class:`ElasticReport`.
+    """
+    from .loop import evaluate
+
+    devices = list(jax.devices() if devices is None else devices)
+    report = ElasticReport()
+    snapshot = None
+    epoch = 0
+
+    def build():
+        probe = probe_devices(devices)
+        if not probe:
+            raise RuntimeError("no healthy devices remain")
+        # global batch is a loader property; build on ALL survivors first,
+        # then shrink the data axis until the batch shards evenly
+        n_data = usable_data_size(len(probe), num_model, _peek_batch())
+        mesh = make_mesh(n_data, num_model,
+                         devices=probe[:n_data * num_model])
+        rules = ShardingRules(mesh)
+        tr = trainer_factory(rules)
+        train_loader, val_loader = loader_factory(rules)
+        report.mesh_history.append((n_data, num_model))
+        return probe, rules, tr, train_loader, val_loader
+
+    def _peek_batch():
+        # loaders know the global batch; build a throwaway on a 1-device
+        # mesh only if we cannot ask the factory -- instead require the
+        # factory to tolerate rules=None for the peek
+        tl, _ = loader_factory(None)
+        return tl.batch_size
+
+    if checkpointer is not None:
+        checkpointer.wait()
+        done = checkpointer.steps()
+        if done:
+            epoch = done[-1]
+
+    devices, rules, tr, train_loader, val_loader = build()
+    state = tr.state
+    if checkpointer is not None and epoch > 0:
+        restored = checkpointer.restore(_snapshot(state),
+                                        step=epoch,
+                                        sharding=rules.replicated)
+        state = _restore(restored, tr.state, rules)
+        report.epochs_completed = epoch
+    snapshot = _snapshot(state)
+
+    while epoch < epochs:
+        try:
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            losses = []
+            for i, (xb, yb) in enumerate(train_loader):
+                if fault_injector is not None:
+                    fault_injector(epoch, i)
+                state, metrics = tr.train_step(state, xb, yb)
+                losses.append(metrics["loss"])
+            # host transfer forces the whole epoch; REAL device failures
+            # surface here as backend runtime errors
+            train_loss = float(np.mean(
+                [float(jax.device_get(l)) for l in losses]))
+        except Exception as e:  # noqa: BLE001 -- triage below
+            injected = isinstance(e, DeviceFailure)
+            if not injected and not _is_device_error(e):
+                raise
+            report.failures += 1
+            if report.failures > max_failures:
+                raise
+            t0 = time.perf_counter()
+            if injected and e.lost:
+                devices = [d for d in devices if d not in e.lost]
+            if verbose:
+                print(f"elastic: failure #{report.failures} in epoch "
+                      f"{epoch}; rebuilding mesh")
+            devices, rules, tr, train_loader, val_loader = build()
+            state = _restore(snapshot, tr.state, rules)
+            report.recovery_seconds.append(time.perf_counter() - t0)
+            continue  # replay the interrupted epoch
+
+        val_loss = (evaluate(tr.eval_step, state.params, val_loader)
+                    if val_loader is not None else np.nan)
+        epoch += 1
+        report.epochs_completed = epoch
+        report.epoch_losses.append(train_loss)
+        snapshot = _snapshot(state)
+        if checkpointer is not None:
+            checkpointer.save(epoch, snapshot)
+        if verbose:
+            print(f"elastic epoch {epoch - 1}: train {train_loss:.5f} "
+                  f"val {val_loss:.5f} "
+                  f"(mesh {report.mesh_history[-1]})")
+
+    return state, report
+
+
+def _is_device_error(e: Exception) -> bool:
+    """Backend errors that plausibly mean a device died (vs a bug)."""
+    name = type(e).__name__
+    if name in ("XlaRuntimeError", "JaxRuntimeError", "InternalError"):
+        return True
+    msg = str(e).lower()
+    return any(s in msg for s in (
+        "device", "dma", "interconnect", "slice health", "halted"))

@@ -1,0 +1,140 @@
+"""In-flight elastic training (train/elastic.py).
+
+Oracles:
+  * a run that loses half its devices mid-epoch matches an uninterrupted
+    run (same total epochs) within float reduction-order tolerance --
+    completed epochs are never re-run, the interrupted epoch replays
+    bit-identically from its boundary snapshot;
+  * loader ``set_epoch`` replay is exact;
+  * a checkpointer-backed run killed between calls resumes from the last
+    committed epoch (process-restart recovery).
+
+The reference has no analog (SURVEY.md section 5.3: checkpoint-restart
+only).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from climsim_tpu.data.pipeline import BatchLoader, DeviceResidentLoader
+from climsim_tpu.data.synthetic import synthetic_split
+from climsim_tpu.grid import load_default_grid
+from climsim_tpu.norms import compute_norms_from_data
+from climsim_tpu.train import recipes
+from climsim_tpu.train.elastic import (DeviceFailure, elastic_fit,
+                                       probe_devices, usable_data_size)
+from climsim_tpu.varspec import get_varspec
+
+SPEC = get_varspec("v1")
+GRID = load_default_grid()
+
+
+@pytest.fixture(scope="module")
+def data():
+    x, y = synthetic_split(SPEC, n=512, grid=GRID, seed=0, noise=0.02)
+    stats = compute_norms_from_data(SPEC, x, y)
+    return x, y, stats
+
+
+def _factories(data, batch=128):
+    x, y, stats = data
+
+    def trainer_factory(rules):
+        return recipes.mlp_trainer(SPEC, stats, (x, y), jax.random.PRNGKey(0),
+                                   rules=rules, hidden=(32,),
+                                   steps_per_epoch=x.shape[0] // batch)
+
+    def loader_factory(rules):
+        return (BatchLoader(x, y, batch, rules=rules, seed=0), None)
+
+    return trainer_factory, loader_factory
+
+
+def test_probe_and_mesh_sizing():
+    assert len(probe_devices()) == len(jax.devices())
+    assert usable_data_size(8, 1, 128) == 8
+    assert usable_data_size(5, 1, 128) == 4   # 128 % 5 != 0 -> shrink to 4
+    assert usable_data_size(7, 2, 96) == 3    # model axis preserved
+    with pytest.raises(ValueError):
+        usable_data_size(0, 1, 128)
+
+
+def test_set_epoch_replays_exactly(data):
+    x, y, _ = data
+    loader = BatchLoader(x, y, 128, seed=7)
+    epochs = [[np.asarray(xb[:, 0]).copy() for xb, _ in loader]
+              for _ in range(2)]
+    loader.set_epoch(1)
+    replay = [np.asarray(xb[:, 0]).copy() for xb, _ in loader]
+    for a, b in zip(epochs[1], replay):
+        np.testing.assert_array_equal(a, b)
+    # device-resident variant
+    dl = DeviceResidentLoader(x[:256], y[:256], 64, seed=3)
+    e0 = [np.asarray(xb[:, 0]).copy() for xb, _ in dl]
+    list(dl)  # consume epoch 1
+    dl.set_epoch(0)
+    r0 = [np.asarray(xb[:, 0]).copy() for xb, _ in dl]
+    for a, b in zip(e0, r0):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_elastic_survives_midrun_device_loss(data):
+    tf, lf = _factories(data)
+    # uninterrupted oracle
+    state_clean, rep_clean = elastic_fit(tf, lf, epochs=3)
+    assert rep_clean.failures == 0
+    assert rep_clean.mesh_history == [(8, 1)]
+
+    # lose 3 devices in the middle of epoch 1
+    lost = jax.devices()[5:]
+    fired = []
+
+    def injector(epoch, step):
+        if epoch == 1 and step == 1 and not fired:
+            fired.append(1)
+            raise DeviceFailure("simulated chip loss", lost=lost)
+
+    state, rep = elastic_fit(tf, lf, epochs=3, fault_injector=injector)
+    assert rep.failures == 1
+    assert rep.epochs_completed == 3
+    # 5 survivors, batch 128 -> data axis shrinks to 4
+    assert rep.mesh_history == [(8, 1), (4, 1)]
+    assert len(rep.recovery_seconds) == 1
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(state_clean.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    assert int(state.step) == int(state_clean.step)
+
+
+def test_elastic_gives_up_after_max_failures(data):
+    tf, lf = _factories(data)
+
+    def always_fail(epoch, step):
+        raise DeviceFailure("flapping")
+
+    with pytest.raises(DeviceFailure):
+        elastic_fit(tf, lf, epochs=2, fault_injector=always_fail,
+                    max_failures=2)
+
+
+def test_elastic_resumes_from_checkpointer(tmp_path, data):
+    from climsim_tpu.train.checkpoints import OrbaxCheckpointer
+
+    tf, lf = _factories(data)
+    ck = OrbaxCheckpointer(str(tmp_path / "ck"), async_save=False)
+    elastic_fit(tf, lf, epochs=2, checkpointer=ck)
+    assert ck.steps() == [1, 2]
+
+    # "process restart": fresh call, same checkpointer dir, more epochs
+    ck2 = OrbaxCheckpointer(str(tmp_path / "ck"), async_save=False)
+    state, rep = elastic_fit(tf, lf, epochs=4, checkpointer=ck2)
+    assert rep.epochs_completed == 4
+    assert len(rep.epoch_losses) == 2  # only epochs 2,3 ran here
+
+    # oracle: uninterrupted 4-epoch run
+    state_clean, _ = elastic_fit(tf, lf, epochs=4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(state_clean.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
