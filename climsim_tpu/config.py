@@ -46,6 +46,7 @@ class TrainConfig:
     num_data_shards: int = 0          # 0 = all local devices
     seeds: list = field(default_factory=list)   # >1: multi-seed vmapped run
     lr_scales: list = field(default_factory=list)  # per-seed LR multipliers
+    elastic: bool = False  # in-flight device-loss recovery (train.elastic)
 
 
 @dataclass

@@ -249,6 +249,45 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         return dict(trainer=ms, state=state, history=history, stats=stats,
                     spec=spec, grid=grid)
 
+    if cfg.train.elastic:
+        # in-flight elastic run: device loss mid-training rebuilds the
+        # mesh from survivors and resumes from the epoch-boundary
+        # snapshot (train/elastic.py).  HSR's staged loss and the
+        # rpn/multi-seed paths are out of scope for the elastic CLI.
+        from .train.elastic import elastic_fit
+        from .train.loop import History
+
+        if cfg.model == "hsr":
+            raise ValueError("train.elastic does not support HSR's "
+                             "staged loss; use the fit() path")
+        sample = (np.asarray(x_tr[:4]), np.asarray(y_tr[:4]))
+
+        def trainer_factory(r):
+            return build_trainer(cfg, spec, stats, sample, rng, r, steps,
+                                 grid)
+
+        def loader_factory(r):
+            tl = BatchLoader(x_tr, y_tr, cfg.data.batch_size, r,
+                             seed=cfg.data.seed)
+            vl = (BatchLoader(x_val, y_val, cfg.data.batch_size, r,
+                              shuffle=False) if n_val else None)
+            return tl, vl
+
+        checkpointer = None
+        if cfg.train.checkpoint_dir:
+            from .train.checkpoints import OrbaxCheckpointer
+
+            checkpointer = OrbaxCheckpointer(
+                os.path.join(cfg.train.checkpoint_dir, "elastic"))
+        state, report = elastic_fit(
+            trainer_factory, loader_factory, cfg.train.epochs,
+            num_model=1, checkpointer=checkpointer, verbose=verbose)
+        history = History()
+        for i, l in enumerate(report.epoch_losses):
+            history.log(epoch=i, train_loss=l, val_loss=np.nan)
+        return dict(trainer=None, state=state, history=history,
+                    stats=stats, spec=spec, grid=grid, report=report)
+
     tr = build_trainer(cfg, spec, stats, (np.asarray(x_tr[:4]),
                                           np.asarray(y_tr[:4])), rng,
                        rules, steps, grid)

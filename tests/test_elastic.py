@@ -119,6 +119,20 @@ def test_elastic_gives_up_after_max_failures(data):
                     max_failures=2)
 
 
+def test_run_experiment_elastic_cli():
+    from climsim_tpu.config import PRESETS
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["mlp_v1"].override(
+        "train.epochs=2", "data.num_synthetic=1024",
+        "data.batch_size=256", "data.norms=compute",
+        "model_kw.hidden=[32]", "train.elastic=true")
+    out = run_experiment(cfg, verbose=False)
+    assert out["report"].epochs_completed == 2
+    assert out["report"].failures == 0
+    assert np.isfinite(out["history"].rows[-1]["train_loss"])
+
+
 def test_elastic_resumes_from_checkpointer(tmp_path, data):
     from climsim_tpu.train.checkpoints import OrbaxCheckpointer
 
