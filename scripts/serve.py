@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Serve a coupling artifact over the TCP bridge (online/server.py).
+
+Two modes:
+  --aot model.stablehlo --features N [--batch B]
+      serve an exported StableHLO artifact (fixed batch B = its export
+      batch; requests are padded/split to it)
+  --demo {v5|v2rh}
+      build a fresh (untrained) wrapped model and serve it -- for wire/
+      latency testing of the bridge itself
+
+Example:
+  python scripts/serve.py --demo v2rh --port 9999
+  # host side: send <III magic,rows,features> + f32 payload; read reply
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--aot", help="StableHLO artifact from export_aot")
+    ap.add_argument("--features", type=int,
+                    help="input width (required with --aot)")
+    ap.add_argument("--batch", type=int, default=384)
+    ap.add_argument("--max-batch", type=int, default=6144)
+    ap.add_argument("--demo", choices=["v5", "v2rh"])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9876)
+    args = ap.parse_args()
+
+    from climsim_tpu.online.server import CouplingServer
+
+    if args.aot:
+        from climsim_tpu.online.wrapper import load_aot
+
+        if not args.features:
+            ap.error("--features is required with --aot")
+        fn = load_aot(args.aot)
+        # AOT artifacts are fixed-shape: one bucket at the export batch
+        srv = CouplingServer(fn, None, n_features=args.features,
+                             base_chunk=args.batch, max_batch=args.batch,
+                             host=args.host, port=args.port)
+    else:
+        import jax
+        import numpy as np
+
+        from climsim_tpu.models import build_model
+        from climsim_tpu.norms import load_asset_norms
+        from climsim_tpu.online.wrapper import (WrapperConfig, make_wrapper,
+                                                make_v2rh_wrapper)
+        from climsim_tpu.varspec import get_varspec
+
+        if args.demo == "v2rh":
+            spec = get_varspec("v2_rh")
+            stats = load_asset_norms("v2_rh")
+            model = build_model("mlp_online", spec, hidden=(384, 384))
+            params = model.init(jax.random.PRNGKey(0),
+                                np.zeros((1, spec.input_len), np.float32))
+            wrap = make_v2rh_wrapper(model.apply, stats, spec)
+            n_feat = spec.input_len
+        else:
+            spec = get_varspec("v5")
+            stats = load_asset_norms("v5")
+            model = build_model("unet", spec, model_channels=32)
+            params = model.init(jax.random.PRNGKey(0),
+                                np.zeros((1, spec.input_len), np.float32))
+            wrap = make_wrapper(model.apply, stats,
+                                WrapperConfig(input_version="v4"))
+            n_feat = get_varspec("v4").input_len
+        srv = CouplingServer(wrap, params, n_features=n_feat,
+                             base_chunk=args.batch,
+                             max_batch=args.max_batch,
+                             host=args.host, port=args.port)
+
+    srv.start()
+    print(f"serving on {args.host}:{srv.port} "
+          f"(features={srv.n_features}, buckets={srv.buckets})")
+    try:
+        while True:
+            time.sleep(10)
+            s = srv.stats.summary()
+            if s["requests"]:
+                print(f"reqs={s['requests']} rows={s['rows']} "
+                      f"rows/batch={s['rows_per_batch']:.0f} "
+                      f"p50={s['latency_ms_p50']:.1f}ms "
+                      f"p99={s['latency_ms_p99']:.1f}ms")
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()
