@@ -78,10 +78,14 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
                          steps_per_epoch=n_train // 1024, seed=0)
     params, opt_state = tr.params, tr.opt_state
     t0 = time.time()
+    n_rows = 0
     for ep in range(epochs):
         for xb, yb in bl:
             params, opt_state, losses = tr.train_step(
                 params, opt_state, tr.prior, xb, yb)
+            n_rows += xb.shape[-2]
+    jax.block_until_ready(losses)
+    rpn_secs = time.time() - t0
     post = []
     for s in range(0, n_score, 4096):
         post.append(np.asarray(tr.posterior(params, tr.prior,
@@ -90,7 +94,8 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
     preds["RPN"] = post.mean(axis=-1)
     samples["RPN"] = post
     train_info["RPN"] = dict(loss=float(np.mean(np.asarray(losses))),
-                             sps=0, secs=round(time.time() - t0, 1))
+                             sps=n_rows / max(rpn_secs, 1e-9),
+                             secs=round(rpn_secs, 1))
     print(f"RPN: loss {train_info['RPN']['loss']:.4f}")
 
     # score everything
