@@ -118,3 +118,46 @@ def compute_statistics(arrays, spec: VarSpec, which: str = "outputs",
                 hist.edges(i) for i in range(sl.start, sl.stop)])
         out[v] = entry
     return out
+
+
+def main(argv=None):
+    """CLI: per-variable/level statistics over npy shards in one pass.
+
+    python -m climsim_tpu.data.statistics --arrays train_target.npy \
+        --varspec v1 --which outputs --bins 64 --out stats.npz
+
+    Replaces the reference's per-variable x per-level SLURM fan-out
+    (dataset_statistics/code/process_all_tendency.sh +
+    tendency_vvvv_llll.py): the streaming accumulators make the split in
+    one pass, so no job array is needed.
+    """
+    import argparse
+
+    from ..varspec import get_varspec
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arrays", nargs="+", required=True,
+                    help="npy shard(s), memory-mapped")
+    ap.add_argument("--varspec", default="v1")
+    ap.add_argument("--which", choices=["inputs", "outputs"],
+                    default="outputs")
+    ap.add_argument("--bins", type=int, default=0)
+    ap.add_argument("--out", required=True, help="output .npz")
+    args = ap.parse_args(argv)
+
+    spec = get_varspec(args.varspec)
+    arrays = [np.load(p, mmap_mode="r") for p in args.arrays]
+    stats = compute_statistics(arrays, spec, args.which, bins=args.bins)
+    flat = {}
+    for v, entry in stats.items():
+        for k, val in entry.items():
+            flat[f"{v}/{k}"] = np.asarray(val)
+    np.savez(args.out, **flat)
+    for v, entry in stats.items():
+        m, s = entry["mean"], entry["std"]
+        print(f"{v}: mean[{m.min():.3e},{m.max():.3e}] "
+              f"std[{s.min():.3e},{s.max():.3e}] n={entry['count']}")
+
+
+if __name__ == "__main__":
+    main()
