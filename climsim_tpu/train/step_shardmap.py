@@ -17,7 +17,11 @@ from typing import Callable
 import jax
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..parallel.mesh import DATA_AXIS, ShardingRules
 from .step import TrainState
@@ -55,10 +59,12 @@ def make_shardmap_train_step(loss_fn: Callable, optimizer,
                                   step=state.step + 1, rng=rng)
         return new_state, {"loss": loss, **aux}
 
-    sharded = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-        check_rep=False)
+    kw = dict(mesh=mesh,
+              in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+              out_specs=(P(), P()))
+    try:  # jax >= 0.8: replication checking is always on (and correct)
+        sharded = shard_map(local_step, **kw)
+    except TypeError:  # pragma: no cover - older jax wants check_rep=False
+        sharded = shard_map(local_step, check_rep=False, **kw)
 
     return jax.jit(sharded, donate_argnums=(0,))

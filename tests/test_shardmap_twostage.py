@@ -57,8 +57,12 @@ def test_shardmap_step_matches_autopartitioned():
     for a, b in zip(jax.tree.leaves(jax.device_get(s_auto.params)),
                     jax.tree.leaves(jax.device_get(s_sm.params))):
         # reduction orders differ (XLA global reduce vs per-shard
-        # mean + psum); adam amplifies tiny grad diffs -> modest tol
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+        # mean + psum).  On coordinates whose gradient is ~0, the noise
+        # decides the SIGN and adam applies a full +/-lr step either
+        # way, so the honest per-coordinate bound is absolute:
+        # steps * lr * 2 slack.  The loss equality above is the tight
+        # functional check.
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=6e-3)
 
 
 def test_two_stage_gating():

@@ -32,8 +32,10 @@ def x5():
 
 def test_forward_shape(x5):
     m = small_unet(attn_resolutions=(32,))  # the one attn-enabled build
-    params = m.init(jax.random.PRNGKey(0), x5)
-    y = m.apply(params, x5)
+    # jit init+apply: one (persistently cached) compile instead of
+    # hundreds of eager per-op compiles on this 1-core box
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x5)
+    y = jax.jit(m.apply)(params, x5)
     assert y.shape == (4, SPEC5.output_len)
     # surface scalars relu'd
     assert (np.asarray(y[:, 300:]) >= 0).all()
@@ -45,7 +47,7 @@ def test_out_conv_init_small_but_not_zero(x5):
     scalar head with zero gradient forever (relu'(0)=0), producing
     permanently-zero surface outputs (caught by the online eval flow)."""
     m = small_unet()
-    params = m.init(jax.random.PRNGKey(0), x5)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x5)
     k = params["params"]["out_conv"]["Conv_0"]["kernel"]
     assert float(jnp.abs(k).max()) > 0.0
     assert float(jnp.abs(k).max()) < 1e-3  # still effectively "zero init"
@@ -53,8 +55,8 @@ def test_out_conv_init_small_but_not_zero(x5):
 
 def test_output_prune(x5):
     m = small_unet(output_prune=True, strato_lev_out=15)
-    params = m.init(jax.random.PRNGKey(0), x5)
-    y = np.asarray(m.apply(params, x5))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x5)
+    y = np.asarray(jax.jit(m.apply)(params, x5))
     for v in ("ptend_q0001", "ptend_qn", "ptend_u", "ptend_v"):
         s = SPEC5.output_slices[v].start
         np.testing.assert_array_equal(y[:, s:s + 15], 0.0)
@@ -62,8 +64,8 @@ def test_output_prune(x5):
 
 def test_classifier_variant(x5):
     m = small_unet(classifier=True)
-    params = m.init(jax.random.PRNGKey(0), x5)
-    logits = m.apply(params, x5)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x5)
+    logits = jax.jit(m.apply)(params, x5)
     assert logits.shape == (4, 60, 3)  # 3-class per-level scheme
 
 
@@ -87,13 +89,13 @@ def test_loc_embedding_distinguishes_columns(x5):
         return p
 
     m_on = small_unet(loc_embedding=True)
-    p_on = randomize_head(m_on.init(jax.random.PRNGKey(1), xj))
-    y_on = np.asarray(m_on.apply(p_on, xj))
+    p_on = randomize_head(jax.jit(m_on.init)(jax.random.PRNGKey(1), xj))
+    y_on = np.asarray(jax.jit(m_on.apply)(p_on, xj))
     assert np.abs(y_on[0] - y_on[1]).max() > 0
 
     m_off = small_unet(loc_embedding=False)
-    p_off = randomize_head(m_off.init(jax.random.PRNGKey(1), xj))
-    y_off = np.asarray(m_off.apply(p_off, xj))
+    p_off = randomize_head(jax.jit(m_off.init)(jax.random.PRNGKey(1), xj))
+    y_off = np.asarray(jax.jit(m_off.apply)(p_off, xj))
     np.testing.assert_allclose(y_off[0], y_off[1], atol=1e-6)
 
 
@@ -106,8 +108,8 @@ def test_v4_and_v2rh_specs_supported():
             x[:, spec.input_slices["icol"]] = 7
         m = ClimSimUNet(spec=spec, model_channels=8, channel_mult=(1, 2),
                         num_blocks=1, attn_resolutions=())
-        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
-        y = m.apply(params, jnp.asarray(x))
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+        y = jax.jit(m.apply)(params, jnp.asarray(x))
         assert y.shape == (2, spec.output_len)
 
 
@@ -115,8 +117,10 @@ def test_unet_grad_step_runs(x5):
     """One optimization step decreases a toy loss (trains end to end)."""
     import optax
 
-    m = small_unet()
-    params = m.init(jax.random.PRNGKey(0), x5)
+    # smallest trainable config: the full-size step compile is covered by
+    # test_recipes_full::test_unet_trainer_v5 through the recipe path
+    m = small_unet(model_channels=8, channel_mult=(1,))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x5)
     target = jnp.ones((4, SPEC5.output_len))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
@@ -124,8 +128,14 @@ def test_unet_grad_step_runs(x5):
     def loss_fn(p):
         return jnp.mean((m.apply(p, x5) - target) ** 2)
 
-    l0, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    l1 = loss_fn(params)
+    # one jitted fwd+bwd+update (persistently cached) instead of eager
+    # per-op compilation of the whole backward pass
+    @jax.jit
+    def step(params, opt_state):
+        l0, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l0
+
+    params, opt_state, l0 = step(params, opt_state)
+    l1 = jax.jit(loss_fn)(params)
     assert float(l1) < float(l0)
