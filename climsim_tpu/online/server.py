@@ -237,6 +237,11 @@ class CouplingServer:
             self._sock.close()
         except OSError:
             pass
+        # join worker threads so no dispatch is mid-device-call when the
+        # interpreter tears down the runtime (avoids a noisy abort on
+        # remote-attached backends)
+        for t in self._threads:
+            t.join(timeout=2.0)
 
 
 class CouplingClient:
