@@ -50,7 +50,12 @@ def main():
     tr = recipes.mlp_trainer(spec, stats, (x, y), rng,
                              hidden=(768, 640, 512, 640, 640),
                              steps_per_epoch=1000)
-    loader = DeviceResidentLoader(x, y, batch, seed=0)
+    # block shuffle: rows fully shuffled once on host at upload, then
+    # 128-row blocks permuted on device per epoch -- the row-wise
+    # per-epoch permutation costs 26% of epoch throughput (random 1 KB
+    # row gathers); block gathers are contiguous and reach the
+    # no-shuffle ceiling (docs/PERFORMANCE.md)
+    loader = DeviceResidentLoader(x, y, batch, seed=0, block_shuffle=128)
     # wait for the one-time HBM upload to finish so it can't contend with
     # the timed region (the attached-TPU link is slow in this dev env)
     float(jax.device_get(loader.x[0, 0]))

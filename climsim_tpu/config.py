@@ -27,6 +27,7 @@ class DataConfig:
     norms: str = "asset"             # 'asset' | 'compute' | 'identity'
     use_native_loader: bool = True
     loader: str = "auto"    # auto | host | device
+    block_shuffle: int = 0  # >0: device-loader block shuffling (B rows)
     seed: int = 0
 
 

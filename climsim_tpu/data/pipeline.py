@@ -278,7 +278,18 @@ class DeviceResidentLoader:
     """
 
     def __init__(self, inputs, targets, batch_size: int, rules=None,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 block_shuffle: int | None = None):
+        """block_shuffle=B trades exact row shuffling for BLOCK shuffling:
+        rows are fully permuted ONCE on the host at upload, then each
+        epoch permutes fixed B-row blocks on device.  The per-epoch sort
+        shrinks n/B-fold and the permutation gather becomes contiguous
+        B-row copies -- measured +38% epoch throughput at B=128 on v5e
+        (docs/PERFORMANCE.md).  Statistical cost: the same B random rows
+        always co-occur in a batch (block composition is fixed); with
+        B=128 blocks in 32k batches each batch still mixes 256
+        independent random blocks.  Epoch row sets remain exact
+        permutations of the split (tested)."""
         import jax
         import jax.numpy as jnp
 
@@ -286,6 +297,18 @@ class DeviceResidentLoader:
         sharding = rules.batch if rules is not None else None
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
             else jax.device_put
+        self.block = block_shuffle if shuffle else None
+        if self.block:
+            n0 = inputs.shape[0]
+            if n0 % self.block:
+                raise ValueError(
+                    f"split size {n0} not divisible by block_shuffle "
+                    f"{self.block}")
+            # one-time host row shuffle: blocks become RANDOM row subsets,
+            # so fixed block composition carries no data-order structure
+            host_perm = np.random.default_rng(seed).permutation(n0)
+            inputs = np.asarray(inputs)[host_perm]
+            targets = np.asarray(targets)[host_perm]
         self.x = put(np.ascontiguousarray(inputs))
         self.y = put(np.ascontiguousarray(targets))
         self.n = inputs.shape[0]
@@ -315,6 +338,34 @@ class DeviceResidentLoader:
             self._perm = jax.jit(perm)
             self._gather = jax.jit(gather)
         self._arange = put(np.arange(n))
+        if self.block:
+            blk = self.block
+            nb = n // blk
+
+            def take_blocks(x, y, key):
+                p = jax.random.permutation(key, nb)
+                xp = jnp.take(x.reshape(nb, blk, x.shape[-1]), p,
+                              axis=0).reshape(n, x.shape[-1])
+                yp = jnp.take(y.reshape(nb, blk, y.shape[-1]), p,
+                              axis=0).reshape(n, y.shape[-1])
+                return xp, yp
+
+            def slice_batch(xp, yp, s):
+                return (jax.lax.dynamic_slice_in_dim(xp, s * b, b),
+                        jax.lax.dynamic_slice_in_dim(yp, s * b, b))
+
+            if sharding is not None:
+                self._take_blocks = jax.jit(
+                    take_blocks,
+                    in_shardings=(sharding, sharding, None),
+                    out_shardings=(sharding, sharding))
+                self._slice_batch = jax.jit(
+                    slice_batch,
+                    in_shardings=(sharding, sharding, None),
+                    out_shardings=(sharding, sharding))
+            else:
+                self._take_blocks = jax.jit(take_blocks)
+                self._slice_batch = jax.jit(slice_batch)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -329,6 +380,12 @@ class DeviceResidentLoader:
                 self._key, _ = self._jax.random.split(self._key)
 
     def __iter__(self):
+        if self.block:
+            self._key, sub = self._jax.random.split(self._key)
+            xp, yp = self._take_blocks(self.x, self.y, sub)
+            for s in range(self.steps_per_epoch):
+                yield self._slice_batch(xp, yp, s)
+            return
         if self.shuffle:
             self._key, sub = self._jax.random.split(self._key)
             idx = self._perm(sub)
@@ -375,7 +432,17 @@ class DeviceResidentLoader:
             # ~1.1x over per-step gathers at every batch size
             # (docs/PERFORMANCE.md).  Costs one extra split-sized copy of
             # HBM for the epoch.
-            if shuffle:
+            if self.block:
+                # block permutation: n/B-element sort + contiguous B-row
+                # gathers -- the bandwidth-friendly shuffle (see __init__)
+                blk = self.block
+                nb = n // blk
+                p = jax.random.permutation(key, nb)
+                xp = jnp.take(x.reshape(nb, blk, x.shape[-1]), p,
+                              axis=0).reshape(n, x.shape[-1])
+                yp = jnp.take(y.reshape(nb, blk, y.shape[-1]), p,
+                              axis=0).reshape(n, y.shape[-1])
+            elif shuffle:
                 idx = jax.random.permutation(key, n)
                 xp = jnp.take(x, idx, axis=0)
                 yp = jnp.take(y, idx, axis=0)

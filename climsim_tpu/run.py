@@ -304,7 +304,8 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
 
         train_loader = DeviceResidentLoader(
             np.asarray(x_tr), np.asarray(y_tr), cfg.data.batch_size,
-            rules, seed=cfg.data.seed)
+            rules, seed=cfg.data.seed,
+            block_shuffle=cfg.data.block_shuffle or None)
         val_loader = (DeviceResidentLoader(
             np.asarray(x_val), np.asarray(y_val), cfg.data.batch_size,
             rules, shuffle=False) if n_val else None)

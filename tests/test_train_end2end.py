@@ -289,6 +289,52 @@ def test_fused_epoch_runner_matches_python_loop(data):
     pb = jax.tree.leaves(jax.device_get(state_b.params))
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_block_shuffle_loader(data):
+    """block_shuffle mode: every epoch is still an exact permutation of
+    the split; fused runner == per-step loop; composition differs
+    between epochs."""
+    from climsim_tpu.data.pipeline import DeviceResidentLoader
+
+    x, y, stats = data
+    x, y = np.asarray(x[:1024]).copy(), np.asarray(y[:1024]).copy()
+    x[:, 0] = np.arange(1024)  # row ids for permutation accounting
+
+    loader = DeviceResidentLoader(x, y, 256, seed=5, block_shuffle=64)
+    epochs = []
+    for _ in range(2):
+        rows = np.concatenate(
+            [np.asarray(xb[:, 0]) for xb, _ in loader])
+        epochs.append(rows)
+    for rows in epochs:
+        np.testing.assert_array_equal(np.sort(rows), np.arange(1024))
+    assert (epochs[0] != epochs[1]).any()  # reshuffled between epochs
+    # a 64-row block stays together: the first batch is 4 whole blocks
+    first = epochs[0][:256].reshape(4, 64)
+    base = np.asarray(loader.x[:, 0]).reshape(16, 64)  # host-preshuffled
+    for blockrow in first:
+        assert any(np.array_equal(blockrow, b) for b in base)
+
+    # fused runner == per-step loop in block mode
+    rng = jax.random.PRNGKey(11)
+
+    def make():
+        return recipes.mlp_trainer(SPEC, stats, (x, y), rng,
+                                   hidden=(64,), steps_per_epoch=4)
+
+    tr_a = make()
+    la = DeviceResidentLoader(x, y, 256, seed=5, block_shuffle=64)
+    state_a = tr_a.state
+    for _ in range(2):
+        for xb, yb in la:
+            state_a, _ = tr_a.train_step(state_a, xb, yb)
+    tr_b = make()
+    lb = DeviceResidentLoader(x, y, 256, seed=5, block_shuffle=64)
+    state_b, _ = lb.make_epoch_runner(tr_b.train_step)(tr_b.state, 2)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_a.params)),
+                    jax.tree.leaves(jax.device_get(state_b.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
     assert int(state_b.step) == 8
 
 
