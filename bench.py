@@ -76,11 +76,12 @@ def main():
     float(m["loss"][-1])
 
     # steady-state epochs: the full production path, zero host->device
-    # traffic.  Best of 3 repetitions -- the remote-attached link adds
-    # run-to-run jitter that a single timing conflates with device rate
+    # traffic.  Best of 6 repetitions -- the remote-attached link adds
+    # run-to-run jitter (~20% window drift) that a single timing
+    # conflates with device rate
     steps_per_epoch = loader.steps_per_epoch
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         state, m = run(state, epochs)
         float(m["loss"][-1])
