@@ -150,21 +150,29 @@ class CouplingServer:
 
     # -- dispatcher: drain queue, one device call per drained group ------
     def _dispatch_loop(self) -> None:
+        carry = None  # request that would have overflowed the last group
         while not self._stop.is_set():
             if self.dispatch_paused.is_set():
                 time.sleep(0.005)
                 continue
-            try:
-                first = self._q.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             group = [first]
             rows = first[0].shape[0]
-            # coalesce whatever is already queued, up to max_batch
+            # coalesce whatever is already queued, never beyond max_batch
+            # (the largest precompiled bucket)
             while rows < self.max_batch:
                 try:
                     nxt = self._q.get_nowait()
                 except queue.Empty:
+                    break
+                if rows + nxt[0].shape[0] > self.max_batch:
+                    carry = nxt  # heads the next group
                     break
                 group.append(nxt)
                 rows += nxt[0].shape[0]
@@ -176,7 +184,13 @@ class CouplingServer:
                 x = np.concatenate(
                     [x, np.zeros((bucket - n, x.shape[1]), x.dtype)], axis=0)
             t0 = time.perf_counter()
-            y = np.asarray(self._jitted(x))
+            try:
+                y = np.asarray(self._jitted(x))
+            except Exception as e:  # noqa: BLE001 -- reply, don't die:
+                # a dead dispatcher would hang every pending+future client
+                for _, reply in group:
+                    reply.put(e)
+                continue
             dt = (time.perf_counter() - t0) * 1e3
             self.stats.batches += 1
             self.stats.rows += n
@@ -206,7 +220,13 @@ class CouplingServer:
                 self.stats.requests += 1
                 reply: queue.Queue = queue.Queue(maxsize=1)
                 self._q.put((x, reply))
-                _send_array(conn, reply.get())
+                out = reply.get()
+                if isinstance(out, Exception):
+                    # error sentinel: a 0-row frame (requests are always
+                    # >= 1 row, so unambiguous); the client raises
+                    _send_array(conn, np.zeros((0, 1), np.float32))
+                    continue
+                _send_array(conn, out)
         finally:
             conn.close()
 
@@ -257,7 +277,11 @@ class CouplingClient:
 
     def step(self, x_raw: np.ndarray) -> np.ndarray:
         _send_array(self._sock, np.asarray(x_raw, np.float32))
-        return _recv_array(self._sock)
+        out = _recv_array(self._sock)
+        if out.shape[0] == 0:
+            raise RuntimeError(
+                "server reported a model-execution error for this request")
+        return out
 
     def close(self) -> None:
         self._sock.close()

@@ -283,8 +283,12 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
             trainer_factory, loader_factory, cfg.train.epochs,
             num_model=1, checkpointer=checkpointer, verbose=verbose)
         history = History()
-        for i, l in enumerate(report.epoch_losses):
-            history.log(epoch=i, train_loss=l, val_loss=np.nan)
+        # epoch_losses covers only epochs run in THIS process (a
+        # checkpointer resume starts later) -- number rows accordingly
+        start = report.epochs_completed - len(report.epoch_losses)
+        for i, (tl, vl) in enumerate(zip(report.epoch_losses,
+                                         report.val_losses)):
+            history.log(epoch=start + i, train_loss=tl, val_loss=vl)
         return dict(trainer=None, state=state, history=history,
                     stats=stats, spec=spec, grid=grid, report=report)
 

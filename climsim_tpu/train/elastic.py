@@ -94,6 +94,7 @@ class ElasticReport:
     failures: int = 0
     mesh_history: list = field(default_factory=list)  # [(num_data, num_model)]
     epoch_losses: list = field(default_factory=list)
+    val_losses: list = field(default_factory=list)  # aligned w/ epoch_losses
     recovery_seconds: list = field(default_factory=list)
 
 
@@ -117,6 +118,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                 *,
                 devices=None,
                 num_model: int = 1,
+                global_batch: int | None = None,
                 max_failures: int = 3,
                 checkpointer=None,
                 fault_injector: Callable[[int, int], None] | None = None,
@@ -155,13 +157,19 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
     snapshot = None
     epoch = 0
 
+    if global_batch is None:
+        # peek the global batch ONCE from an unsharded loader (all
+        # data.pipeline loaders tolerate rules=None); pass global_batch
+        # explicitly if your loader_factory requires real rules
+        global_batch = loader_factory(None)[0].batch_size
+
     def build():
         probe = probe_devices(devices)
         if not probe:
             raise RuntimeError("no healthy devices remain")
-        # global batch is a loader property; build on ALL survivors first,
-        # then shrink the data axis until the batch shards evenly
-        n_data = usable_data_size(len(probe), num_model, _peek_batch())
+        # build on ALL survivors first, then shrink the data axis until
+        # the global batch shards evenly
+        n_data = usable_data_size(len(probe), num_model, global_batch)
         mesh = make_mesh(n_data, num_model,
                          devices=probe[:n_data * num_model])
         rules = ShardingRules(mesh)
@@ -169,13 +177,6 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         train_loader, val_loader = loader_factory(rules)
         report.mesh_history.append((n_data, num_model))
         return probe, rules, tr, train_loader, val_loader
-
-    def _peek_batch():
-        # loaders know the global batch; build a throwaway on a 1-device
-        # mesh only if we cannot ask the factory -- instead require the
-        # factory to tolerate rules=None for the peek
-        tl, _ = loader_factory(None)
-        return tl.batch_size
 
     if checkpointer is not None:
         checkpointer.wait()
@@ -230,6 +231,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         epoch += 1
         report.epochs_completed = epoch
         report.epoch_losses.append(train_loss)
+        report.val_losses.append(float(val_loss))
         snapshot = _snapshot(state)
         if checkpointer is not None:
             checkpointer.save(epoch, snapshot)

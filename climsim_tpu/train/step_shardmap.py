@@ -62,9 +62,14 @@ def make_shardmap_train_step(loss_fn: Callable, optimizer,
     kw = dict(mesh=mesh,
               in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
               out_specs=(P(), P()))
-    try:  # jax >= 0.8: replication checking is always on (and correct)
-        sharded = shard_map(local_step, **kw)
-    except TypeError:  # pragma: no cover - older jax wants check_rep=False
-        sharded = shard_map(local_step, check_rep=False, **kw)
+    # jax >= 0.8 removed check_rep (replication checking is always
+    # correct there); older jax needs check_rep=False or the psum'd
+    # outputs fail its conservative replication check at TRACE time --
+    # so branch on the signature, not on a (never-raised) TypeError
+    import inspect
+
+    if "check_rep" in inspect.signature(shard_map).parameters:
+        kw["check_rep"] = False  # pragma: no cover - older jax
+    sharded = shard_map(local_step, **kw)
 
     return jax.jit(sharded, donate_argnums=(0,))

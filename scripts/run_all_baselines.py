@@ -84,7 +84,9 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
             params, opt_state, losses = tr.train_step(
                 params, opt_state, tr.prior, xb, yb)
             n_rows += xb.shape[-2]
-    jax.block_until_ready(losses)
+    # sync via host transfer: block_until_ready can return early on the
+    # remote-attached backend (same convention as bench.py/loop.py)
+    float(np.mean(np.asarray(jax.device_get(losses))))
     rpn_secs = time.time() - t0
     post = []
     for s in range(0, n_score, 4096):

@@ -82,6 +82,42 @@ def test_concurrent_requests_coalesce(echo_server):
     assert echo_server.stats.batches == before + 1
 
 
+def test_coalescing_never_exceeds_max_batch(echo_server):
+    """Regression: a drained group must stay within max_batch (=256, the
+    largest precompiled bucket); the overflowing request heads the next
+    group instead."""
+    import time
+
+    echo_server.dispatch_paused.set()
+    time.sleep(0.2)
+    rng = np.random.default_rng(3)
+    xs = [rng.normal(size=(100, 16)).astype(np.float32) for _ in range(3)]
+    outs = [None] * 3
+
+    def call(i):
+        cl = CouplingClient("127.0.0.1", echo_server.port)
+        outs[i] = cl.step(xs[i])
+        cl.close()
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    before = echo_server.stats.batches
+    for t in threads:
+        t.start()
+    for _ in range(200):
+        if echo_server._q.qsize() == 3:
+            break
+        time.sleep(0.01)
+    echo_server.dispatch_paused.clear()
+    for t in threads:
+        t.join(timeout=30)
+    for i in range(3):
+        np.testing.assert_allclose(outs[i], xs[i][:, :8] * 2.0 + 1.0,
+                                   rtol=1e-6)
+    # 300 rows > max_batch 256 -> two device calls (200 + 100), never one
+    assert echo_server.stats.batches == before + 2
+    assert echo_server.stats.padded_rows >= 0
+
+
 def test_real_v2rh_wrapper_served():
     from climsim_tpu.data.synthetic import synthetic_inputs
     from climsim_tpu.grid import load_default_grid

@@ -289,6 +289,7 @@ def test_fused_epoch_runner_matches_python_loop(data):
     pb = jax.tree.leaves(jax.device_get(state_b.params))
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    assert int(state_b.step) == 8
 
 
 def test_block_shuffle_loader(data):
