@@ -109,10 +109,23 @@ class CouplingServer:
     def __init__(self, wrapper, params, n_features: int,
                  base_chunk: int = 384, max_batch: int = 6144,
                  host: str = "127.0.0.1", port: int = 0,
-                 warmup: bool = True):
+                 warmup: bool = True, rules=None):
+        """rules: optional parallel.mesh.ShardingRules -- coalesced
+        batches then shard over the mesh data axis (high-res serving:
+        21,600 columns per physics step saturate several chips; one
+        sidecar feeds them all).  Bucket sizes must divide evenly, so
+        base_chunk is rounded up to a multiple of the data-axis size."""
         self._apply = (wrapper if params is None
                        else lambda x: wrapper(params, x))
-        self._jitted = jax.jit(self._apply)
+        if rules is None:
+            self._jitted = jax.jit(self._apply)
+        else:
+            n_data = rules.mesh.shape["data"]
+            base_chunk = -(-base_chunk // n_data) * n_data
+            max_batch = -(-max_batch // n_data) * n_data
+            self._jitted = jax.jit(
+                self._apply, in_shardings=rules.batch,
+                out_shardings=rules.batch)
         self.n_features = n_features
         self.buckets = []
         b = base_chunk

@@ -149,6 +149,28 @@ def test_real_v2rh_wrapper_served():
         srv.stop()
 
 
+def test_mesh_sharded_serving():
+    """rules= shards coalesced batches over the mesh data axis; outputs
+    match the unsharded path and bucket sizes stay divisible."""
+    from climsim_tpu.parallel.mesh import ShardingRules, make_mesh
+
+    rules = ShardingRules(make_mesh())
+    n_dev = rules.mesh.shape["data"]
+    srv = CouplingServer(_echo_wrapper, None, n_features=16,
+                         base_chunk=50, max_batch=200, warmup=True,
+                         rules=rules)
+    assert all(b % n_dev == 0 for b in srv.buckets)
+    srv.start()
+    try:
+        cl = CouplingClient("127.0.0.1", srv.port)
+        x = np.random.default_rng(4).normal(size=(50, 16)).astype(np.float32)
+        y = cl.step(x)
+        np.testing.assert_allclose(y, x[:, :8] * 2.0 + 1.0, rtol=1e-6)
+        cl.close()
+    finally:
+        srv.stop()
+
+
 def test_wire_format_stable():
     # the header the Fortran side must write: <III magic, rows, features
     import struct
