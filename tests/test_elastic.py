@@ -108,6 +108,25 @@ def test_elastic_survives_midrun_device_loss(data):
     assert int(state.step) == int(state_clean.step)
 
 
+def test_elastic_preserves_model_axis(data):
+    """num_model=2 meshes rebuild as (k, 2) after failures."""
+    tf, lf = _factories(data)
+    lost = jax.devices()[6:]
+    fired = []
+
+    def injector(epoch, step):
+        if epoch == 0 and step == 0 and not fired:
+            fired.append(1)
+            raise DeviceFailure(lost=lost)
+
+    state, rep = elastic_fit(tf, lf, epochs=1, num_model=2,
+                             fault_injector=injector)
+    # 8 devices -> (4, 2); 6 survivors -> data axis 2 (128 % 3 != 0)
+    assert rep.mesh_history == [(4, 2), (2, 2)]
+    assert rep.epochs_completed == 1
+    assert np.isfinite(rep.epoch_losses[-1])
+
+
 def test_elastic_gives_up_after_max_failures(data):
     tf, lf = _factories(data)
 
