@@ -204,11 +204,22 @@ def process_file_pair(in_path: str, spec: VarSpec,
     return x, y
 
 
+def _build_one(task):
+    """One file pair -> normalized float32 (x, y).  Module-level so a
+    ProcessPoolExecutor can pickle it (build_split(workers=N))."""
+    f, wp, spec, grid, stats = task
+    x, y = process_file_pair(f, spec, grid, window_paths=wp)
+    if stats is not None:
+        x = (x - stats.inp_sub) / stats.inp_div
+        y = y * stats.out_scale
+    return x.astype(np.float32), y.astype(np.float32)
+
+
 def build_split(filelist, spec: VarSpec, save_path: str, split: str,
                 grid: Grid | None = None, stats=None,
                 save_npy: bool = True, save_h5: bool = False,
                 window: bool = False, emit_stride: int = 1,
-                chunk_files: int = 64):
+                chunk_files: int = 64, workers: int = 0):
     """Materialize a split to {split}_input.npy / {split}_target.npy.
 
     With stats given, applies training-space normalization on write (the
@@ -221,9 +232,12 @@ def build_split(filelist, spec: VarSpec, save_path: str, split: str,
     strides afterwards: climsim_adding_input.py runs on the full list,
     the canonical stride applies to the mlexpand files).  Without window,
     pre-striding the filelist is equivalent.
+
+    workers>0 fans file-pair processing over a process pool (results
+    identical to serial; tested).
     """
     os.makedirs(save_path, exist_ok=True)
-    xs, ys = [], []
+    tasks = []  # (path, window_paths) in emission order
     for i, f in enumerate(filelist):
         wp = None
         if window:
@@ -232,14 +246,23 @@ def build_split(filelist, spec: VarSpec, save_path: str, split: str,
             wp = (filelist[i - 1], filelist[i - 2])
         elif i % emit_stride != 0:
             continue
-        x, y = process_file_pair(f, spec, grid, window_paths=wp)
-        if stats is not None:
-            x = (x - stats.inp_sub) / stats.inp_div
-            y = y * stats.out_scale
-        xs.append(x.astype(np.float32))
-        ys.append(y.astype(np.float32))
-    x = np.concatenate(xs)
-    y = np.concatenate(ys)
+        tasks.append((f, wp))
+    # workers>0: file pairs are independent -> process pool, emission
+    # order preserved by map.  The reference's ingest is single-process
+    # and documented as too slow for direct use (preprocessing/
+    # README.md); at 744 GB low-res parallel ingest is the lever.
+    if workers > 0:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(
+                _build_one, [(f, wp, spec, grid, stats) for f, wp in tasks],
+                chunksize=4))
+    else:
+        results = [_build_one((f, wp, spec, grid, stats))
+                   for f, wp in tasks]
+    x = np.concatenate([r[0] for r in results])
+    y = np.concatenate([r[1] for r in results])
     x[~np.isfinite(x)] = 0.0
     y[~np.isfinite(y)] = 0.0
     outputs = {}

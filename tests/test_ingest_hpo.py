@@ -59,6 +59,18 @@ def test_build_split_v1(ncdir, tmp_path):
     np.testing.assert_allclose(y[:NCOL, :60], want, rtol=1e-5)
 
 
+def test_build_split_parallel_matches_serial(ncdir, tmp_path):
+    """workers>0 (process pool) produces byte-identical shards."""
+    spec = get_varspec("v1")
+    fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=1)
+    a = ingest.build_split(fl, spec, str(tmp_path / "s"), "train")
+    b = ingest.build_split(fl, spec, str(tmp_path / "p"), "train",
+                           workers=2)
+    np.testing.assert_array_equal(np.load(a["input"]), np.load(b["input"]))
+    np.testing.assert_array_equal(np.load(a["target"]),
+                                  np.load(b["target"]))
+
+
 def test_build_split_v5_window(ncdir, tmp_path):
     spec = get_varspec("v5")
     fl = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=1)
