@@ -139,6 +139,10 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         Total epochs to complete (across failures).
     devices : initial device list (default: all of jax.devices()).
     num_model : mesh model-axis size to preserve across rebuilds.
+    global_batch : the loaders' global batch size; if omitted it is
+        peeked once from ``loader_factory(None)`` (all data.pipeline
+        loaders tolerate rules=None) -- pass it explicitly when your
+        factory needs real rules.
     max_failures : give up (re-raise) after this many recoveries.
     checkpointer : optional OrbaxCheckpointer; snapshots are ALSO
         persisted per epoch, and the run resumes from the last committed
