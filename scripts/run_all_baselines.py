@@ -171,6 +171,11 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
         "",
         "### Reading these numbers",
         "",
+        "samples/s is steady-state (fused-epoch models time the second, "
+        "already-compiled half of the run); wall includes the one-time "
+        "XLA compile of the whole-epoch scan, which dominates for the "
+        "fast models.",
+        "",
         "HSR and RPN fit the synthetic map best; the MLP follows.  ED and "
         "CNN sit near zero skill *by construction of the synthetic data*: "
         "the synthetic targets come from a dense random map over all 124 "
