@@ -197,6 +197,22 @@ class HybridDriver:
         final, traj = jax.lax.scan(body, state0, jnp.arange(n_steps))
         return final, traj
 
+    @partial(jax.jit, static_argnums=(0, 3))
+    def rollout_ensemble(self, params, states0, n_steps: int):
+        """All ensemble members in ONE compiled program.
+
+        ``states0``: a ColumnState whose leaves carry a leading member
+        axis (jax.tree.map(jnp.stack, ...) over per-member states).  The
+        member axis vmaps over the rollout -- the TPU-idiomatic form of
+        the reference's per-member notebook loops (the online evaluation
+        compares against a 3-member perturbed-IC MMF ensemble,
+        online_testing/evaluation/*.ipynb): members x columns becomes
+        one batched device computation instead of E sequential rollouts.
+        Matches the per-member loop exactly (test_online.py).
+        """
+        return jax.vmap(
+            lambda s0: self.rollout(params, s0, n_steps))(states0)
+
 
 jax.tree_util.register_dataclass(
     ColumnState,

@@ -183,17 +183,23 @@ def main(argv=None):
     # ---- 3. rollouts ------------------------------------------------------
     x0 = synthetic_inputs(spec4, ncol, grid, seed=3)
     oracle_driver = HybridDriver(oracle_wrap, grid)
-    members = []
     rng = np.random.default_rng(7)
+    states0 = []
     for mi in range(args.members):
         xm = x0.copy()
         if mi > 0:  # perturbed initial conditions (reference: perturbed seeds)
             xm[:, spec4.input_slices["state_t"]] += \
                 0.05 * rng.standard_normal((ncol, 60)).astype(np.float32)
-        _, traj = oracle_driver.rollout(None, initial_state(xm, grid),
-                                        args.steps)
-        members.append({k: np.asarray(v) for k, v in traj.items()})
-        print(f"ensemble member {mi}: rollout done")
+        states0.append(initial_state(xm, grid))
+    import jax
+    import jax.numpy as jnp
+
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *states0)
+    # all members advance in ONE vmapped program (member x column batch)
+    _, etraj = oracle_driver.rollout_ensemble(None, stacked, args.steps)
+    members = [{k: np.asarray(v[mi]) for k, v in etraj.items()}
+               for mi in range(args.members)]
+    print(f"ensemble rollout done ({args.members} members, one dispatch)")
 
     hybrid_driver = HybridDriver(hybrid_wrap, grid)
     _, htraj = hybrid_driver.rollout(state.params,

@@ -146,6 +146,27 @@ def test_hybrid_rollout(tiny_model):
     assert step_mag[-1] < 50 * (step_mag[0] + 1e-12)
 
 
+def test_rollout_ensemble_matches_member_loop(tiny_model):
+    """vmapped ensemble rollout == per-member sequential rollouts."""
+    import jax
+
+    from climsim_tpu.online.driver import HybridDriver, initial_state
+
+    apply, params = tiny_model
+    wrap = W.make_wrapper(apply, STATS5)
+    driver = HybridDriver(wrap, GRID)
+    states = [initial_state(raw_v4_batch(8, seed=s)) for s in (3, 4)]
+    loop = [driver.rollout(params, s, 3)[1] for s in states]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *states)
+    _, etraj = driver.rollout_ensemble(params, stacked, 3)
+    for k in loop[0]:
+        got = np.asarray(etraj[k])
+        assert got.shape[0] == 2
+        for mi in range(2):
+            np.testing.assert_allclose(got[mi], np.asarray(loop[mi][k]),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_rollout_uses_hybrid_sigma_pressure(tiny_model):
     """The driver's RH assembly must use the grid's hyam/hybm mid-level
     pressure, not a fabricated sigma law (data_utils.py:1049-1052)."""
