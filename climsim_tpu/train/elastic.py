@@ -57,20 +57,34 @@ class DeviceFailure(RuntimeError):
         self.lost = tuple(lost)
 
 
-def probe_devices(candidates=None) -> list:
+def probe_devices(candidates=None, timeout: float = 30.0) -> list:
     """Health-check devices one by one; return the survivors.
 
     Each probe is independent (per-device put + tiny reduce + host get),
-    so one dead chip cannot poison the others' checks.
+    so one dead chip cannot poison the others' checks.  Real failures
+    often HANG rather than raise, so each probe runs in a worker thread
+    bounded by ``timeout`` seconds; a hung probe marks the device dead
+    (the thread is abandoned -- daemon, never joined).
     """
+    import threading
+
     healthy = []
     for d in (jax.devices() if candidates is None else candidates):
-        try:
-            x = jax.device_put(np.arange(8, dtype=np.float32), d)
-            if float(np.asarray(jax.device_get(x)).sum()) == 28.0:
-                healthy.append(d)
-        except Exception:
-            continue
+        ok = []
+
+        def _probe(dev=d):
+            try:
+                x = jax.device_put(np.arange(8, dtype=np.float32), dev)
+                if float(np.asarray(jax.device_get(x)).sum()) == 28.0:
+                    ok.append(True)
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(timeout)
+        if ok:
+            healthy.append(d)
     return healthy
 
 
