@@ -252,9 +252,14 @@ def build_split(filelist, spec: VarSpec, save_path: str, split: str,
     # and documented as too slow for direct use (preprocessing/
     # README.md); at 744 GB low-res parallel ingest is the lever.
     if workers > 0:
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(max_workers=workers) as pool:
+        # spawn, not fork: the caller usually has jax loaded, and forking
+        # a multithreaded process can deadlock the children
+        with ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=multiprocessing.get_context("spawn")) as pool:
             results = list(pool.map(
                 _build_one, [(f, wp, spec, grid, stats) for f, wp in tasks],
                 chunksize=4))
