@@ -204,6 +204,21 @@ def process_file_pair(in_path: str, spec: VarSpec,
     return x, y
 
 
+_WORKER_CTX: dict = {}
+
+
+def _init_build_worker(spec, grid, stats):
+    """Pool initializer: ship (spec, grid, stats) ONCE per worker
+    instead of pickling them into every task tuple."""
+    _WORKER_CTX.update(spec=spec, grid=grid, stats=stats)
+
+
+def _build_one_pooled(task):
+    f, wp = task
+    return _build_one((f, wp, _WORKER_CTX["spec"], _WORKER_CTX["grid"],
+                       _WORKER_CTX["stats"]))
+
+
 def _build_one(task):
     """One file pair -> normalized float32 (x, y).  Module-level so a
     ProcessPoolExecutor can pickle it (build_split(workers=N))."""
@@ -219,7 +234,7 @@ def build_split(filelist, spec: VarSpec, save_path: str, split: str,
                 grid: Grid | None = None, stats=None,
                 save_npy: bool = True, save_h5: bool = False,
                 window: bool = False, emit_stride: int = 1,
-                chunk_files: int = 64, workers: int = 0):
+                workers: int = 0):
     """Materialize a split to {split}_input.npy / {split}_target.npy.
 
     With stats given, applies training-space normalization on write (the
@@ -259,10 +274,10 @@ def build_split(filelist, spec: VarSpec, save_path: str, split: str,
         # a multithreaded process can deadlock the children
         with ProcessPoolExecutor(
                 max_workers=workers,
-                mp_context=multiprocessing.get_context("spawn")) as pool:
-            results = list(pool.map(
-                _build_one, [(f, wp, spec, grid, stats) for f, wp in tasks],
-                chunksize=4))
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_init_build_worker,
+                initargs=(spec, grid, stats)) as pool:
+            results = list(pool.map(_build_one_pooled, tasks, chunksize=4))
     else:
         results = [_build_one((f, wp, spec, grid, stats))
                    for f, wp in tasks]

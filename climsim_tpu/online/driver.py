@@ -209,6 +209,11 @@ class HybridDriver:
         online_testing/evaluation/*.ipynb): members x columns becomes
         one batched device computation instead of E sequential rollouts.
         Matches the per-member loop exactly (test_online.py).
+
+        Memory: ALL members' trajectories live in HBM at once
+        (E x steps x ncol x ~242 f32) -- for year-scale windows use the
+        sequential per-member ``rollout`` loop, which offloads each
+        trajectory to host (scripts/online_eval.py picks automatically).
         """
         return jax.vmap(
             lambda s0: self.rollout(params, s0, n_steps))(states0)

@@ -62,30 +62,37 @@ def probe_devices(candidates=None, timeout: float = 30.0) -> list:
 
     Each probe is independent (per-device put + tiny reduce + host get),
     so one dead chip cannot poison the others' checks.  Real failures
-    often HANG rather than raise, so each probe runs in a worker thread
-    bounded by ``timeout`` seconds; a hung probe marks the device dead
-    (the thread is abandoned -- daemon, never joined).
+    often HANG rather than raise, so all probes launch CONCURRENTLY in
+    daemon threads against one shared deadline: a hung probe marks its
+    device dead after ``timeout`` seconds total (not per device), and
+    healthy probes that complete before the deadline are kept even if a
+    dead chip is wedging a shared runtime lock for the rest.  Caveat: if
+    the backend serializes every transfer behind that lock, survivors
+    may still time out -- the caller then sees an empty list and raises
+    rather than recovering; a process restart (checkpointer path) is the
+    fallback at that point.
     """
     import threading
 
-    healthy = []
-    for d in (jax.devices() if candidates is None else candidates):
-        ok = []
+    devs = list(jax.devices() if candidates is None else candidates)
+    ok = [False] * len(devs)
 
-        def _probe(dev=d):
-            try:
-                x = jax.device_put(np.arange(8, dtype=np.float32), dev)
-                if float(np.asarray(jax.device_get(x)).sum()) == 28.0:
-                    ok.append(True)
-            except Exception:
-                pass
+    def _probe(i, dev):
+        try:
+            x = jax.device_put(np.arange(8, dtype=np.float32), dev)
+            if float(np.asarray(jax.device_get(x)).sum()) == 28.0:
+                ok[i] = True
+        except Exception:
+            pass
 
-        t = threading.Thread(target=_probe, daemon=True)
+    threads = [threading.Thread(target=_probe, args=(i, d), daemon=True)
+               for i, d in enumerate(devs)]
+    deadline = time.monotonic() + timeout
+    for t in threads:
         t.start()
-        t.join(timeout)
-        if ok:
-            healthy.append(d)
-    return healthy
+    for t in threads:
+        t.join(max(deadline - time.monotonic(), 0.0))
+    return [d for i, d in enumerate(devs) if ok[i]]
 
 
 def usable_data_size(n_devices: int, num_model: int,

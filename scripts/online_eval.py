@@ -191,15 +191,24 @@ def main(argv=None):
             xm[:, spec4.input_slices["state_t"]] += \
                 0.05 * rng.standard_normal((ncol, 60)).astype(np.float32)
         states0.append(initial_state(xm, grid))
-    import jax
-    import jax.numpy as jnp
-
-    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *states0)
     # all members advance in ONE vmapped program (member x column batch)
-    _, etraj = oracle_driver.rollout_ensemble(None, stacked, args.steps)
-    members = [{k: np.asarray(v[mi]) for k, v in etraj.items()}
-               for mi in range(args.members)]
-    print(f"ensemble rollout done ({args.members} members, one dispatch)")
+    # when the stacked trajectories fit HBM; year-scale rollouts fall
+    # back to sequential members (each trajectory offloads to host)
+    traj_bytes = args.members * args.steps * ncol * 242 * 4
+    if traj_bytes < 2e9:
+        stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *states0)
+        _, etraj = oracle_driver.rollout_ensemble(None, stacked,
+                                                  args.steps)
+        members = [{k: np.asarray(v[mi]) for k, v in etraj.items()}
+                   for mi in range(args.members)]
+        print(f"ensemble rollout done ({args.members} members, "
+              "one dispatch)")
+    else:
+        members = []
+        for mi, s0 in enumerate(states0):
+            _, traj = oracle_driver.rollout(None, s0, args.steps)
+            members.append({k: np.asarray(v) for k, v in traj.items()})
+            print(f"ensemble member {mi}: rollout done")
 
     hybrid_driver = HybridDriver(hybrid_wrap, grid)
     _, htraj = hybrid_driver.rollout(state.params,

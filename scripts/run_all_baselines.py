@@ -53,18 +53,25 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
             # executable (outer scan length is static) -- its timing is
             # compile-free steady state (same convention as bench.py)
             run = loader.make_epoch_runner(tr.train_step)
-            half = max(n_epochs // 2, 1)
-            state, m = run(state, half)
-            float(jax.device_get(m["loss"][-1]))
-            t1 = time.time()
-            state, m = run(state, half)
-            loss = float(jax.device_get(m["loss"][-1]))
-            sps = (half * loader.steps_per_epoch * batch
-                   / max(time.time() - t1, 1e-9))
-            rem = n_epochs - 2 * half
-            if rem > 0:
-                state, m = run(state, rem)
+            half = n_epochs // 2
+            if half == 0:  # single epoch: one call, compile-inclusive sps
+                t1 = time.time()
+                state, m = run(state, n_epochs)
                 loss = float(jax.device_get(m["loss"][-1]))
+                sps = (n_epochs * loader.steps_per_epoch * batch
+                       / max(time.time() - t1, 1e-9))
+            else:
+                state, m = run(state, half)
+                float(jax.device_get(m["loss"][-1]))
+                t1 = time.time()
+                state, m = run(state, half)
+                loss = float(jax.device_get(m["loss"][-1]))
+                sps = (half * loader.steps_per_epoch * batch
+                       / max(time.time() - t1, 1e-9))
+                rem = n_epochs - 2 * half
+                if rem > 0:
+                    state, m = run(state, rem)
+                    loss = float(jax.device_get(m["loss"][-1]))
         else:
             for ep in range(n_epochs):
                 step = tr.train_step
