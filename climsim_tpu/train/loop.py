@@ -114,7 +114,8 @@ def fit(train_step, eval_step, state: TrainState, train_loader, val_loader,
         epochs: int, ckpt: TopKCheckpointer | None = None,
         plateau: PlateauController | None = None,
         early: EarlyStopping | None = None, verbose: bool = True,
-        history: History | None = None, fused: bool = True):
+        history: History | None = None, fused: bool = True,
+        timed_ckpt=None):
     """Generic fit covering the reference trainers' control flow.
 
     When the train loader supports it (DeviceResidentLoader), each epoch
@@ -160,6 +161,11 @@ def fit(train_step, eval_step, state: TrainState, train_loader, val_loader,
         if ckpt is not None and np.isfinite(val_loss):
             ckpt.maybe_save(val_loss, int(state.step), state.params)
             ckpt.save_last(int(state.step), state.params)
+        if timed_ckpt is not None:
+            # wall-clock periodic save (reference: every 1200 s during
+            # training, hsr.py:120-121); epoch boundaries are the
+            # checkable granularity here
+            timed_ckpt.maybe_save(state.params)
         history.log(epoch=epoch, train_loss=train_loss, val_loss=val_loss,
                     samples_per_sec=sps)
         if verbose:

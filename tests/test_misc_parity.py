@@ -100,6 +100,33 @@ def test_timed_checkpointer(tmp_path):
     np.testing.assert_array_equal(restored["w"], tree["w"])
 
 
+def test_fit_drives_timed_checkpointer(tmp_path):
+    import jax
+
+    from climsim_tpu.data.pipeline import BatchLoader
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.norms import compute_norms_from_data
+    from climsim_tpu.train import recipes
+    from climsim_tpu.train.checkpoints import TimedCheckpointer
+    from climsim_tpu.train.loop import fit
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v1")
+    x, y = synthetic_split(spec, n=256, grid=load_default_grid(), seed=0)
+    stats = compute_norms_from_data(spec, x, y)
+    tr = recipes.mlp_trainer(spec, stats, (x, y), jax.random.PRNGKey(0),
+                             hidden=(16,), steps_per_epoch=2)
+    path = str(tmp_path / "timed.msgpack")
+    tc = TimedCheckpointer(path, interval_seconds=0.0)  # save every epoch
+    fit(tr.train_step, tr.eval_step, tr.state,
+        BatchLoader(x, y, 128, seed=0), None, epochs=2,
+        verbose=False, timed_ckpt=tc)
+    import os
+
+    assert os.path.exists(path)
+
+
 def test_metrics_cli(tmp_path):
     from climsim_tpu.data.synthetic import synthetic_split
     from climsim_tpu.eval.cli import main
