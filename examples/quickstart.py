@@ -9,9 +9,13 @@ sharded training -> predictions -> weighted metric tables + figures.
 
 import argparse
 import os
+import sys
 
 import jax
 import numpy as np
+
+# runnable as `python examples/quickstart.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
