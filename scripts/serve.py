@@ -77,11 +77,20 @@ def main():
                              max_batch=args.max_batch,
                              host=args.host, port=args.port)
 
+    import signal
+
+    stop = False
+
+    def _term(signum, frame):
+        nonlocal stop
+        stop = True
+
+    signal.signal(signal.SIGTERM, _term)
     srv.start()
     print(f"serving on {args.host}:{srv.port} "
           f"(features={srv.n_features}, buckets={srv.buckets})")
     try:
-        while True:
+        while not stop:
             time.sleep(10)
             s = srv.stats.summary()
             if s["requests"]:
@@ -90,7 +99,8 @@ def main():
                       f"p50={s['latency_ms_p50']:.1f}ms "
                       f"p99={s['latency_ms_p99']:.1f}ms")
     except KeyboardInterrupt:
-        srv.stop()
+        pass
+    srv.stop()  # drain worker threads before runtime teardown
 
 
 if __name__ == "__main__":
