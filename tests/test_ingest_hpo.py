@@ -59,6 +59,40 @@ def test_build_split_v1(ncdir, tmp_path):
     np.testing.assert_allclose(y[:NCOL, :60], want, rtol=1e-5)
 
 
+def test_small_public_helpers(ncdir, tiny_grid):
+    """Direct coverage for small public API: canonical_filelist,
+    index_to_latlontime, pad_to_multiple, qn_exponential_transform."""
+    import jax.numpy as jnp
+
+    from climsim_tpu import physics
+    from climsim_tpu.parallel.mesh import pad_to_multiple
+
+    # canonical_filelist: train regex matches the 000[1-7] fixture years
+    fl = ingest.canonical_filelist(ncdir, "train")
+    assert all(".mli." in f for f in fl)
+
+    # index -> (lat, lon, date) mapping covers ncol rows per file
+    files = ingest.build_filelist(ncdir, ["E3SM-MMF.mli.*.nc"], stride=1)
+    m = ingest.index_to_latlontime(files[:2], tiny_grid)
+    assert len(m) == 2 * tiny_grid.ncol
+    (latlon, date) = m[0]
+    assert len(latlon) == 2 and date  # ((lat, lon), 'YYYY-MM-...')
+
+    # pad_to_multiple: pads batch dim, reports true count
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    p, n = pad_to_multiple(x, 4)
+    assert p.shape == (8, 2) and n == 5
+    np.testing.assert_array_equal(p[5:], np.repeat(x[-1:], 3, axis=0))
+    same, n2 = pad_to_multiple(x[:4], 4)
+    assert same.shape == (4, 2) and n2 == 4
+
+    # qn transform matches its closed form
+    qn = jnp.asarray([0.0, 1e-4, 1e-3])
+    got = np.asarray(physics.qn_exponential_transform(qn, 1000.0))
+    np.testing.assert_allclose(got, 1.0 - np.exp(-np.asarray(qn) * 1e3),
+                               rtol=1e-6)
+
+
 def test_build_split_parallel_matches_serial(ncdir, tmp_path):
     """workers>0 (process pool) produces byte-identical shards."""
     spec = get_varspec("v1")
