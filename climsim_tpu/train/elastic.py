@@ -140,6 +140,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                 devices=None,
                 num_model: int = 1,
                 global_batch: int | None = None,
+                fused: bool = True,
                 max_failures: int = 3,
                 checkpointer=None,
                 fault_injector: Callable[[int, int], None] | None = None,
@@ -210,6 +211,9 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
             epoch = done[-1]
 
     devices, rules, tr, train_loader, val_loader = build()
+    runner = (train_loader.make_epoch_runner(tr.train_step)
+              if fused and hasattr(train_loader, "make_epoch_runner")
+              else None)
     state = tr.state
     if checkpointer is not None and epoch > 0:
         restored = checkpointer.restore(_snapshot(state),
@@ -223,16 +227,24 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         try:
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
-            losses = []
-            for i, (xb, yb) in enumerate(train_loader):
+            if runner is not None:
+                # production path: the whole epoch is one fused dispatch
+                # (device loss surfaces on the result transfer below)
                 if fault_injector is not None:
-                    fault_injector(epoch, i)
-                state, metrics = tr.train_step(state, xb, yb)
-                losses.append(metrics["loss"])
-            # host transfer forces the whole epoch; REAL device failures
-            # surface here as backend runtime errors
-            train_loss = float(np.mean(
-                [float(jax.device_get(l)) for l in losses]))
+                    fault_injector(epoch, 0)
+                state, m = runner(state, 1)
+                train_loss = float(jax.device_get(m["loss"][0]))
+            else:
+                losses = []
+                for i, (xb, yb) in enumerate(train_loader):
+                    if fault_injector is not None:
+                        fault_injector(epoch, i)
+                    state, metrics = tr.train_step(state, xb, yb)
+                    losses.append(metrics["loss"])
+                # host transfer forces the whole epoch; REAL device
+                # failures surface here as backend runtime errors
+                train_loss = float(np.mean(
+                    [float(jax.device_get(l)) for l in losses]))
         except Exception as e:  # noqa: BLE001 -- triage below
             injected = isinstance(e, DeviceFailure)
             if not injected and not _is_device_error(e):
@@ -247,6 +259,9 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                 print(f"elastic: failure #{report.failures} in epoch "
                       f"{epoch}; rebuilding mesh")
             devices, rules, tr, train_loader, val_loader = build()
+            runner = (train_loader.make_epoch_runner(tr.train_step)
+                      if fused and hasattr(train_loader,
+                                           "make_epoch_runner") else None)
             state = _restore(snapshot, tr.state, rules)
             report.recovery_seconds.append(time.perf_counter() - t0)
             continue  # replay the interrupted epoch

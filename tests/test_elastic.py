@@ -108,6 +108,39 @@ def test_elastic_survives_midrun_device_loss(data):
     assert int(state.step) == int(state_clean.step)
 
 
+def test_elastic_with_device_resident_fused_runner(data):
+    """The production combination: DeviceResidentLoader + fused epoch
+    runner under elastic_fit; failure mid-run == clean run."""
+    x, y, stats = data
+
+    def tf(rules):
+        return recipes.mlp_trainer(SPEC, stats, (x, y),
+                                   jax.random.PRNGKey(0), rules=rules,
+                                   hidden=(32,), steps_per_epoch=4)
+
+    def lf(rules):
+        return (DeviceResidentLoader(x, y, 128, rules=rules, seed=0),
+                None)
+
+    clean, rep_c = elastic_fit(tf, lf, epochs=3)
+    assert rep_c.failures == 0
+
+    lost = jax.devices()[5:]
+    fired = []
+
+    def injector(epoch, step):
+        if epoch == 1 and not fired:
+            fired.append(1)
+            raise DeviceFailure(lost=lost)
+
+    state, rep = elastic_fit(tf, lf, epochs=3, fault_injector=injector)
+    assert rep.failures == 1 and rep.epochs_completed == 3
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(clean.params))):
+        # 8-dev vs 4-dev mesh psum ordering through adam -> tiny drift
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_elastic_preserves_model_axis(data):
     """num_model=2 meshes rebuild as (k, 2) after failures."""
     tf, lf = _factories(data)
