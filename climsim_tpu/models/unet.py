@@ -96,6 +96,7 @@ class Attention(nn.Module):
     channels: int
     channels_per_head: int = 64
     compute_dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -103,7 +104,7 @@ class Attention(nn.Module):
         heads = max(c // self.channels_per_head, 1)
         d = c // heads
         h = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6,
-                         dtype=jnp.float32, name="norm")(x)
+                         dtype=self.norm_dtype, name="norm")(x)
         qkv = Conv1d(3 * c, 1, compute_dtype=self.compute_dtype,
                      name="qkv")(h)
         qkv = qkv.reshape(b, l, 3, heads, d)
@@ -128,12 +129,13 @@ class UNetBlock(nn.Module):
     attention: bool = False
     dropout: float = 0.10
     compute_dtype: jnp.dtype = jnp.bfloat16
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cin = x.shape[-1]
         h = nn.GroupNorm(num_groups=_num_groups(cin), epsilon=1e-6,
-                         dtype=jnp.float32, name="norm0")(x)
+                         dtype=self.norm_dtype, name="norm0")(x)
         h = nn.silu(h)
         if self.down:
             h, x = _down(h), _down(x)
@@ -141,7 +143,7 @@ class UNetBlock(nn.Module):
             h, x = _up(h), _up(x)
         h = Conv1d(self.out_channels, 3, name="conv0")(h)
         h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-6,
-                         dtype=jnp.float32, name="norm1")(h)
+                         dtype=self.norm_dtype, name="norm1")(h)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -151,7 +153,8 @@ class UNetBlock(nn.Module):
         y = (h + x) / np.sqrt(2.0)
         if self.attention:
             y = Attention(self.out_channels,
-                          compute_dtype=self.compute_dtype)(y)
+                          compute_dtype=self.compute_dtype,
+                          norm_dtype=self.norm_dtype)(y)
         return y
 
 
@@ -186,6 +189,9 @@ class ClimSimUNet(nn.Module):
     classifier: bool = False
     num_classes: int = 3  # classifier head: 3-class per-level scheme
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # f32 norms are the exact-parity default; bf16 halves the dominant
+    # HBM traffic of the (bandwidth-bound) step -- see docs/PERFORMANCE.md
+    norm_dtype: jnp.dtype = jnp.float32
 
     def _assemble(self, x):
         """(B, D_in) flat -> (B, 64, C) channelized with loc embedding."""
@@ -226,7 +232,8 @@ class ClimSimUNet(nn.Module):
         mc = self.model_channels
         h = self._assemble(x)
 
-        kw = dict(dropout=self.dropout, compute_dtype=self.compute_dtype)
+        kw = dict(dropout=self.dropout, compute_dtype=self.compute_dtype,
+                  norm_dtype=self.norm_dtype)
         # --- encoder ------------------------------------------------------
         skips = []
         cout = None
@@ -272,7 +279,7 @@ class ClimSimUNet(nn.Module):
                       else len(spec.output_profile_vars))
         n_scal_out = 0 if self.classifier else len(spec.output_scalar_vars)
         h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=jnp.float32, name="out_norm")(h)
+                         dtype=self.norm_dtype, name="out_norm")(h)
         h = Conv1d(n_prof_out + n_scal_out, 3, zero_init=True,
                    name="out_conv")(nn.silu(h))
         pad = self.seq_resolution - NUM_LEVELS
