@@ -67,7 +67,7 @@ def test_concurrent_requests_coalesce(echo_server):
     for t in threads:
         t.start()
     # wait until all three requests are queued, then release the dispatcher
-    for _ in range(200):
+    for _ in range(500):
         if echo_server._q.qsize() == 3:
             break
         time.sleep(0.01)
@@ -103,7 +103,7 @@ def test_coalescing_never_exceeds_max_batch(echo_server):
     before = echo_server.stats.batches
     for t in threads:
         t.start()
-    for _ in range(200):
+    for _ in range(500):
         if echo_server._q.qsize() == 3:
             break
         time.sleep(0.01)
