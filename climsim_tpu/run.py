@@ -21,7 +21,7 @@ from .norms import (compute_norms_from_data, identity_norms,
 from .parallel.mesh import ShardingRules, distributed_init_if_needed, make_mesh
 from .train import recipes
 from .train.checkpoints import TopKCheckpointer
-from .train.loop import EarlyStopping, PlateauController, fit
+from .train.loop import EarlyStopping, History, PlateauController, fit
 from .varspec import get_varspec
 
 
@@ -112,7 +112,6 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         # full-featured RPN loop: per-epoch ensemble-mean validation loss,
         # History, top-K checkpointing (params+prior), early stop --
         # the same control flow every other model gets from fit()
-        from .train.loop import History
         from .train.rpn_recipe import rpn_trainer
 
         tr = rpn_trainer(spec, stats, x_tr, rng, cfg=cfg.transform,
@@ -174,7 +173,6 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         # path, so train.seeds/lr_scales are always honored.
         import jax.numpy as jnp
 
-        from .train.loop import EarlyStopping, History, PlateauController
         from .train.multiseed import multiseed
 
         sample = (np.asarray(x_tr[:4]), np.asarray(y_tr[:4]))
@@ -255,7 +253,6 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         # snapshot (train/elastic.py).  HSR's staged loss and the
         # rpn/multi-seed paths are out of scope for the elastic CLI.
         from .train.elastic import elastic_fit
-        from .train.loop import History
 
         if cfg.model == "hsr":
             raise ValueError("train.elastic does not support HSR's "

@@ -44,6 +44,24 @@ def test_run_experiment_small():
     assert np.isfinite(out["history"].rows[-1]["val_loss"])
 
 
+def test_run_experiment_with_plateau_and_ckpt(tmp_path):
+    """Regression: plateau/early-stop/checkpointing on the generic path
+    (a function-local import once shadowed PlateauController here)."""
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["mlp_v1"].override(
+        "train.epochs=2", "data.num_synthetic=1024",
+        "data.batch_size=256", "data.norms=compute",
+        "model_kw.hidden=[32]", "train.num_data_shards=1",
+        "train.plateau_patience=2", "train.early_stop_patience=4",
+        f"train.checkpoint_dir={tmp_path}")
+    out = run_experiment(cfg, verbose=False)
+    assert len(out["history"].rows) == 2
+    import os
+
+    assert os.path.exists(tmp_path / "last.msgpack")
+
+
 def test_run_experiment_sharded():
     import jax
 
