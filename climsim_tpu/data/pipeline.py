@@ -290,7 +290,6 @@ class DeviceResidentLoader:
         B=128 blocks in 32k batches each batch still mixes 256
         independent random blocks.  Epoch row sets remain exact
         permutations of the split (tested)."""
-        import jax
         import jax.numpy as jnp
 
         self._jax = jax
