@@ -197,10 +197,13 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
         "",
         "Full-size U-Net (model_channels 128, mult [1,2,2,2], 4 "
         "blocks/level, attention at resolution 8, output pruning; 21.2M "
-        "params) on the synthetic v5 split, batch 2048 on one v5e chip: "
-        "sustained **~22.6k samples/s** training with a monotone "
-        "huber-loss decline from the zero-initialized head.  Throughput "
-        "matches the dedicated step benchmark (docs/PERFORMANCE.md).",
+        "params) trained through the production CLI (`--preset unet_v5`, "
+        "98,304-sample synthetic v5 split, batch 2048, device-resident "
+        "loader + fused epochs, top-K checkpointing + plateau LR) on one "
+        "v5e chip: sustained **23.8k samples/s** with a monotone "
+        "val-loss decline 0.2506 -> 0.2058 over 12 epochs (huber, "
+        "zero-initialized head).  Matches the dedicated step benchmark "
+        "(docs/PERFORMANCE.md).",
     ]
     with open("docs/SYNTHETIC_RESULTS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
