@@ -88,10 +88,43 @@ def build_trainer(cfg: ExperimentConfig, spec, stats, sample, rng, rules,
                      "(rpn uses climsim_tpu.train.rpn_recipe directly)")
 
 
+def write_manifest(cfg: ExperimentConfig, directory: str) -> None:
+    """Reproducibility manifest next to the checkpoints: full config,
+    library versions, backend/device kind, git SHA if available."""
+    import json
+    import subprocess
+    import time
+
+    import flax
+    import optax
+
+    info = {
+        "config": json.loads(cfg.to_json()),
+        "time": time.strftime("%Y-%m-%d %H:%M:%S %Z"),
+        "jax": jax.__version__,
+        "flax": flax.__version__,
+        "optax": optax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    try:
+        info["git_sha"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=5).stdout.strip() or None
+    except Exception:
+        info["git_sha"] = None
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "run_manifest.json"), "w") as f:
+        json.dump(info, f, indent=2)
+
+
 def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
     distributed_init_if_needed()
     grid = load_default_grid()
     spec, x, y, stats = load_data(cfg, grid)
+    if cfg.train.checkpoint_dir:
+        write_manifest(cfg, cfg.train.checkpoint_dir)
 
     n = x.shape[0]
     n_val = max(int(n * cfg.data.val_fraction), cfg.data.batch_size) \

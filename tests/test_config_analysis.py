@@ -57,9 +57,14 @@ def test_run_experiment_with_plateau_and_ckpt(tmp_path):
         f"train.checkpoint_dir={tmp_path}")
     out = run_experiment(cfg, verbose=False)
     assert len(out["history"].rows) == 2
+    import json
     import os
 
     assert os.path.exists(tmp_path / "last.msgpack")
+    with open(tmp_path / "run_manifest.json") as f:
+        man = json.load(f)
+    assert man["config"]["model"] == "mlp"
+    assert man["jax"] and man["backend"]
 
 
 def test_run_experiment_sharded():
