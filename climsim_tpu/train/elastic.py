@@ -117,6 +117,7 @@ class ElasticReport:
     epoch_losses: list = field(default_factory=list)
     val_losses: list = field(default_factory=list)  # aligned w/ epoch_losses
     recovery_seconds: list = field(default_factory=list)
+    expansions: int = 0  # scale-UP rebuilds after devices return
 
 
 def _snapshot(state):
@@ -142,6 +143,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                 global_batch: int | None = None,
                 fused: bool = True,
                 max_failures: int = 3,
+                reprobe_every: int = 0,
                 checkpointer=None,
                 fault_injector: Callable[[int, int], None] | None = None,
                 verbose: bool = False):
@@ -172,6 +174,10 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
     fault_injector : optional (epoch, step) -> None hook called before
         every train step; raise :class:`DeviceFailure` from it to
         simulate chip loss (tests).
+    reprobe_every : if > 0 and the run is degraded (using fewer devices
+        than it started with), re-probe the ORIGINAL device set every N
+        completed epochs and scale back UP when enough devices return
+        (repaired chips rejoin without a restart).
 
     Returns ``(state, report)`` -- the final TrainState (on the last mesh)
     and an :class:`ElasticReport`.
@@ -179,6 +185,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
     from .loop import evaluate
 
     devices = list(jax.devices() if devices is None else devices)
+    initial_devices = list(devices)
     report = ElasticReport()
     snapshot = None
     epoch = 0
@@ -279,6 +286,26 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
             print(f"elastic epoch {epoch - 1}: train {train_loss:.5f} "
                   f"val {val_loss:.5f} "
                   f"(mesh {report.mesh_history[-1]})")
+
+        if reprobe_every and epoch % reprobe_every == 0 and epoch < epochs:
+            in_use = int(rules.mesh.devices.size)
+            if in_use < len(initial_devices):
+                healthy = probe_devices(initial_devices)
+                best = usable_data_size(
+                    len(healthy), num_model, global_batch) * num_model
+                if best > in_use:
+                    devices = healthy
+                    (devices, rules, tr, train_loader,
+                     val_loader) = build()
+                    runner = (train_loader.make_epoch_runner(tr.train_step)
+                              if fused and hasattr(train_loader,
+                                                   "make_epoch_runner")
+                              else None)
+                    state = _restore(snapshot, tr.state, rules)
+                    report.expansions += 1
+                    if verbose:
+                        print(f"elastic: devices returned; expanded to "
+                              f"mesh {report.mesh_history[-1]}")
 
     return state, report
 

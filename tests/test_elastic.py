@@ -160,6 +160,33 @@ def test_elastic_preserves_model_axis(data):
     assert np.isfinite(rep.epoch_losses[-1])
 
 
+def test_elastic_scales_back_up_when_devices_return(data):
+    """reprobe_every: a degraded run re-expands onto returned devices
+    (simulated: injected loss shrinks to 4, the reprobe of the original
+    set finds all 8 healthy again) and still matches the clean run."""
+    tf, lf = _factories(data)
+    state_clean, _ = elastic_fit(tf, lf, epochs=4)
+
+    lost = jax.devices()[4:]
+    fired = []
+
+    def injector(epoch, step):
+        if epoch == 0 and step == 0 and not fired:
+            fired.append(1)
+            raise DeviceFailure(lost=lost)
+
+    state, rep = elastic_fit(tf, lf, epochs=4, fault_injector=injector,
+                             reprobe_every=2)
+    assert rep.failures == 1
+    assert rep.expansions == 1
+    # shrink to 4, epochs 0-1 degraded, reprobe at epoch 2 -> back to 8
+    assert rep.mesh_history == [(8, 1), (4, 1), (8, 1)]
+    assert rep.epochs_completed == 4
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(state_clean.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_elastic_gives_up_after_max_failures(data):
     tf, lf = _factories(data)
 
