@@ -25,14 +25,14 @@ import time
 
 import jax
 
-# persistent compile cache: the dev TPU is tunnel-attached and its
-# compile RPCs can stretch to minutes in bad windows; cached executables
-# make reruns immune (no effect on the timed region, which is always
-# measured warm)
-_cache = os.environ.get("CLIMSIM_COMPILE_CACHE", "/tmp/climsim_jax_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from climsim_tpu.utils.cache import enable_compile_cache
+
+# cached executables make reruns immune to tunnel-slow compile windows
+# (no effect on the timed region, which is always measured warm)
+enable_compile_cache()
 
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 10_091_520 / (600.0 / 6.0) / 16.0
 

@@ -42,6 +42,7 @@ class TrainConfig:
     optimizer: str = "adam"
     checkpoint_dir: str | None = None
     top_k: int = 5
+    timed_interval: float = 0.0  # >0: periodic wall-clock save (seconds)
     early_stop_patience: int = 0
     plateau_patience: int = 0
     num_data_shards: int = 0          # 0 = all local devices

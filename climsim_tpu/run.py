@@ -350,6 +350,13 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
                                   shuffle=False) if n_val else None)
     ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
             if cfg.train.checkpoint_dir else None)
+    timed = None
+    if cfg.train.checkpoint_dir and cfg.train.timed_interval > 0:
+        from .train.checkpoints import TimedCheckpointer
+
+        timed = TimedCheckpointer(
+            os.path.join(cfg.train.checkpoint_dir, "timed.msgpack"),
+            cfg.train.timed_interval)
     plateau = (PlateauController(cfg.train.plateau_patience)
                if cfg.train.plateau_patience else None)
     early = (EarlyStopping(cfg.train.early_stop_patience)
@@ -360,18 +367,18 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
         state, history = fit(tr.train_step, tr.eval_step, tr.state,
                              train_loader, val_loader, stage1,
                              ckpt=ckpt, plateau=plateau, early=early,
-                             verbose=verbose)
+                             verbose=verbose, timed_ckpt=timed)
         state, history2 = fit(tr.stage2_step, tr.eval_step, state,
                               train_loader, val_loader,
                               cfg.train.epochs - stage1, ckpt=ckpt,
                               plateau=plateau, early=early,
-                              verbose=verbose)
+                              verbose=verbose, timed_ckpt=timed)
         history.rows.extend(history2.rows)
     else:
         state, history = fit(tr.train_step, tr.eval_step, tr.state,
                              train_loader, val_loader, cfg.train.epochs,
                              ckpt=ckpt, plateau=plateau, early=early,
-                             verbose=verbose)
+                             verbose=verbose, timed_ckpt=timed)
     return dict(trainer=tr, state=state, history=history, stats=stats,
                 spec=spec, grid=grid)
 

@@ -196,8 +196,9 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         # explicitly if your loader_factory requires real rules
         global_batch = loader_factory(None)[0].batch_size
 
-    def build():
-        probe = probe_devices(devices)
+    def build(probe=None):
+        if probe is None:
+            probe = probe_devices(devices)
         if not probe:
             raise RuntimeError("no healthy devices remain")
         # build on ALL survivors first, then shrink the data axis until
@@ -208,8 +209,11 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         rules = ShardingRules(mesh)
         tr = trainer_factory(rules)
         train_loader, val_loader = loader_factory(rules)
+        runner = (train_loader.make_epoch_runner(tr.train_step)
+                  if fused and hasattr(train_loader, "make_epoch_runner")
+                  else None)
         report.mesh_history.append((n_data, num_model))
-        return probe, rules, tr, train_loader, val_loader
+        return probe, rules, tr, train_loader, val_loader, runner
 
     if checkpointer is not None:
         checkpointer.wait()
@@ -217,10 +221,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         if done:
             epoch = done[-1]
 
-    devices, rules, tr, train_loader, val_loader = build()
-    runner = (train_loader.make_epoch_runner(tr.train_step)
-              if fused and hasattr(train_loader, "make_epoch_runner")
-              else None)
+    devices, rules, tr, train_loader, val_loader, runner = build()
     state = tr.state
     if checkpointer is not None and epoch > 0:
         restored = checkpointer.restore(_snapshot(state),
@@ -252,6 +253,12 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                 # failures surface here as backend runtime errors
                 train_loss = float(np.mean(
                     [float(jax.device_get(l)) for l in losses]))
+            # validation + the snapshot's device->host transfer are
+            # inside the try: a chip dying HERE must trigger recovery
+            # too (the epoch replays -- it was never snapshotted)
+            val_loss = (evaluate(tr.eval_step, state.params, val_loader)
+                        if val_loader is not None else np.nan)
+            new_snapshot = _snapshot(state)
         except Exception as e:  # noqa: BLE001 -- triage below
             injected = isinstance(e, DeviceFailure)
             if not injected and not _is_device_error(e):
@@ -265,21 +272,17 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
             if verbose:
                 print(f"elastic: failure #{report.failures} in epoch "
                       f"{epoch}; rebuilding mesh")
-            devices, rules, tr, train_loader, val_loader = build()
-            runner = (train_loader.make_epoch_runner(tr.train_step)
-                      if fused and hasattr(train_loader,
-                                           "make_epoch_runner") else None)
+            (devices, rules, tr, train_loader, val_loader,
+             runner) = build()
             state = _restore(snapshot, tr.state, rules)
             report.recovery_seconds.append(time.perf_counter() - t0)
             continue  # replay the interrupted epoch
 
-        val_loss = (evaluate(tr.eval_step, state.params, val_loader)
-                    if val_loader is not None else np.nan)
         epoch += 1
         report.epochs_completed = epoch
         report.epoch_losses.append(train_loss)
         report.val_losses.append(float(val_loss))
-        snapshot = _snapshot(state)
+        snapshot = new_snapshot
         if checkpointer is not None:
             checkpointer.save(epoch, snapshot)
         if verbose:
@@ -290,22 +293,22 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
         if reprobe_every and epoch % reprobe_every == 0 and epoch < epochs:
             in_use = int(rules.mesh.devices.size)
             if in_use < len(initial_devices):
-                healthy = probe_devices(initial_devices)
-                best = usable_data_size(
-                    len(healthy), num_model, global_batch) * num_model
-                if best > in_use:
-                    devices = healthy
-                    (devices, rules, tr, train_loader,
-                     val_loader) = build()
-                    runner = (train_loader.make_epoch_runner(tr.train_step)
-                              if fused and hasattr(train_loader,
-                                                   "make_epoch_runner")
-                              else None)
-                    state = _restore(snapshot, tr.state, rules)
-                    report.expansions += 1
-                    if verbose:
-                        print(f"elastic: devices returned; expanded to "
-                              f"mesh {report.mesh_history[-1]}")
+                # short timeout: still-dead chips hang their probes, and
+                # this pause repeats every reprobe; a failed or
+                # too-small probe just keeps the run degraded
+                healthy = probe_devices(initial_devices, timeout=5.0)
+                if len(healthy) >= num_model:
+                    best = usable_data_size(
+                        len(healthy), num_model, global_batch) * num_model
+                    if best > in_use:
+                        devices = healthy
+                        (devices, rules, tr, train_loader, val_loader,
+                         runner) = build(probe=healthy)
+                        state = _restore(snapshot, tr.state, rules)
+                        report.expansions += 1
+                        if verbose:
+                            print("elastic: devices returned; expanded "
+                                  f"to mesh {report.mesh_history[-1]}")
 
     return state, report
 

@@ -78,20 +78,18 @@ def main():
                              host=args.host, port=args.port)
 
     import signal
+    import threading
 
-    stop = False
-
-    def _term(signum, frame):
-        nonlocal stop
-        stop = True
-
-    signal.signal(signal.SIGTERM, _term)
+    stop = threading.Event()
+    # Event.wait wakes immediately on set() from the handler (a bare
+    # time.sleep would resume for its full remainder per PEP 475,
+    # delaying shutdown past an orchestrator's kill grace period)
+    signal.signal(signal.SIGTERM, lambda signum, frame: stop.set())
     srv.start()
     print(f"serving on {args.host}:{srv.port} "
           f"(features={srv.n_features}, buckets={srv.buckets})")
     try:
-        while not stop:
-            time.sleep(10)
+        while not stop.wait(10.0):
             s = srv.stats.summary()
             if s["requests"]:
                 print(f"reqs={s['requests']} rows={s['rows']} "
@@ -100,7 +98,8 @@ def main():
                       f"p99={s['latency_ms_p99']:.1f}ms")
     except KeyboardInterrupt:
         pass
-    srv.stop()  # drain worker threads before runtime teardown
+    finally:
+        srv.stop()  # drain worker threads before runtime teardown
 
 
 if __name__ == "__main__":

@@ -54,6 +54,7 @@ def test_run_experiment_with_plateau_and_ckpt(tmp_path):
         "data.batch_size=256", "data.norms=compute",
         "model_kw.hidden=[32]", "train.num_data_shards=1",
         "train.plateau_patience=2", "train.early_stop_patience=4",
+        "train.timed_interval=0.001",
         f"train.checkpoint_dir={tmp_path}")
     out = run_experiment(cfg, verbose=False)
     assert len(out["history"].rows) == 2
@@ -61,6 +62,7 @@ def test_run_experiment_with_plateau_and_ckpt(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "last.msgpack")
+    assert os.path.exists(tmp_path / "timed.msgpack")
     with open(tmp_path / "run_manifest.json") as f:
         man = json.load(f)
     assert man["config"]["model"] == "mlp"
