@@ -234,6 +234,39 @@ def test_online_diagnostics():
     assert np.isfinite(d)
 
 
+def test_online_diagnostics_golden_values():
+    """Hand-computable cases for the diagnostics not covered above."""
+    from climsim_tpu.eval import online_diags as D
+
+    t_steps, b, l = 4, GRID.ncol, 60
+    # uniform error c: every weighted RMSE must equal |c| exactly
+    ref = np.zeros((t_steps, b, l))
+    traj = ref + 0.37
+    assert abs(D.weighted_rmse(traj, ref, GRID) - 0.37) < 1e-12
+    np.testing.assert_allclose(D.error_growth(traj, ref, GRID), 0.37,
+                               atol=1e-12)
+
+    # two members offset by a constant: pairwise floor == that constant
+    m0 = np.zeros((t_steps, b, l))
+    m1 = m0 + 0.21
+    assert abs(D.ensemble_noise_floor([m0, m1], GRID) - 0.21) < 1e-12
+    assert D.ensemble_noise_floor([m0], GRID) == 0.0
+
+    # microphysics fractions on a constructed field
+    qn = np.zeros((t_steps, b, l))
+    qn[0] = 1e-6          # cloudy quarter
+    qn[1] = -1e-9         # negative quarter
+    t_field = np.full((t_steps, b, l), 280.0)
+    t_field[0, :, :30] = 200.0  # half of the cloudy quarter is cold
+    out = D.microphysics_checks(qn, t_field,
+                                precc=np.array([[-1.0, 1.0, 1.0, 1.0]]))
+    assert abs(out["frac_negative_qn"] - 0.25) < 1e-12
+    assert abs(out["frac_cloudy"] - 0.25) < 1e-12
+    assert abs(out["frac_cold_cloud"] - 0.125) < 1e-12
+    assert abs(out["frac_negative_precc"] - 0.25) < 1e-12
+    assert out["qn_max"] == 1e-6
+
+
 def test_v2rh_rollout_and_retrain_best(tmp_path):
     """v2_rh online rollout path + HPO step-2 retrain flow."""
     from climsim_tpu.data.synthetic import synthetic_inputs
