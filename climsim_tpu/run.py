@@ -351,7 +351,11 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
     ckpt = (TopKCheckpointer(cfg.train.checkpoint_dir, cfg.train.top_k)
             if cfg.train.checkpoint_dir else None)
     timed = None
-    if cfg.train.checkpoint_dir and cfg.train.timed_interval > 0:
+    if cfg.train.timed_interval > 0:
+        if not cfg.train.checkpoint_dir:
+            raise ValueError(
+                "train.timed_interval needs train.checkpoint_dir -- "
+                "periodic saves have nowhere to go")
         from .train.checkpoints import TimedCheckpointer
 
         timed = TimedCheckpointer(

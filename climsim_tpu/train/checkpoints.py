@@ -19,9 +19,14 @@ from flax import serialization
 
 
 def save_pytree(path: str, tree) -> None:
+    """Atomic save: write-to-tmp + rename, so a crash mid-write never
+    destroys the previous good checkpoint (the timed crash-recovery file
+    in particular must survive the very event it exists for)."""
     tree = jax.tree.map(np.asarray, tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, template):

@@ -232,6 +232,7 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
     snapshot = _snapshot(state)
 
     while epoch < epochs:
+        new_snapshot = None
         try:
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
@@ -253,12 +254,13 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                 # failures surface here as backend runtime errors
                 train_loss = float(np.mean(
                     [float(jax.device_get(l)) for l in losses]))
-            # validation + the snapshot's device->host transfer are
-            # inside the try: a chip dying HERE must trigger recovery
-            # too (the epoch replays -- it was never snapshotted)
+            # snapshot BEFORE validation: if a chip dies during
+            # evaluate, the completed training is preserved (recovery
+            # commits the epoch with val=nan instead of replaying it);
+            # both transfers stay inside the try so failures recover
+            new_snapshot = _snapshot(state)
             val_loss = (evaluate(tr.eval_step, state.params, val_loader)
                         if val_loader is not None else np.nan)
-            new_snapshot = _snapshot(state)
         except Exception as e:  # noqa: BLE001 -- triage below
             injected = isinstance(e, DeviceFailure)
             if not injected and not _is_device_error(e):
@@ -274,9 +276,19 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                       f"{epoch}; rebuilding mesh")
             (devices, rules, tr, train_loader, val_loader,
              runner) = build()
+            if new_snapshot is not None:
+                # training finished; only validation was interrupted --
+                # commit the epoch (val recorded as nan) and move on
+                snapshot = new_snapshot
+                epoch += 1
+                report.epochs_completed = epoch
+                report.epoch_losses.append(train_loss)
+                report.val_losses.append(float("nan"))
+                if checkpointer is not None:
+                    checkpointer.save(epoch, snapshot)
             state = _restore(snapshot, tr.state, rules)
             report.recovery_seconds.append(time.perf_counter() - t0)
-            continue  # replay the interrupted epoch
+            continue  # replay (or resume after) the interrupted epoch
 
         epoch += 1
         report.epochs_completed = epoch
@@ -301,14 +313,29 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                     best = usable_data_size(
                         len(healthy), num_model, global_batch) * num_model
                     if best > in_use:
-                        devices = healthy
-                        (devices, rules, tr, train_loader, val_loader,
-                         runner) = build(probe=healthy)
-                        state = _restore(snapshot, tr.state, rules)
-                        report.expansions += 1
-                        if verbose:
-                            print("elastic: devices returned; expanded "
-                                  f"to mesh {report.mesh_history[-1]}")
+                        try:
+                            (devices, rules, tr, train_loader, val_loader,
+                             runner) = build(probe=healthy)
+                            state = _restore(snapshot, tr.state, rules)
+                        except Exception as e:  # noqa: BLE001
+                            # a chip that answered the probe but died
+                            # during the rebuild must NOT kill a healthy
+                            # degraded run: rebuild on the old survivors
+                            if not isinstance(e, DeviceFailure) and \
+                                    not _is_device_error(e):
+                                raise
+                            if verbose:
+                                print("elastic: expansion failed "
+                                      f"({type(e).__name__}); staying "
+                                      "degraded")
+                            (devices, rules, tr, train_loader, val_loader,
+                             runner) = build()
+                            state = _restore(snapshot, tr.state, rules)
+                        else:
+                            report.expansions += 1
+                            if verbose:
+                                print("elastic: devices returned; expanded "
+                                      f"to mesh {report.mesh_history[-1]}")
 
     return state, report
 

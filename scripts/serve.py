@@ -16,7 +16,6 @@ Example:
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 
