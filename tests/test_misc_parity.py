@@ -100,6 +100,24 @@ def test_timed_checkpointer(tmp_path):
     np.testing.assert_array_equal(restored["w"], tree["w"])
 
 
+def test_save_pytree_atomic(tmp_path):
+    """Atomic overwrite: the rename leaves no tmp file, and an aborted
+    write (simulated by pre-placing a stale tmp) never corrupts the
+    existing checkpoint."""
+    import os
+
+    from climsim_tpu.train.checkpoints import load_pytree, save_pytree
+
+    path = str(tmp_path / "ck.msgpack")
+    save_pytree(path, {"w": np.arange(4.0)})
+    with open(path + ".tmp", "wb") as f:
+        f.write(b"garbage from a crashed writer")
+    save_pytree(path, {"w": np.arange(4.0) * 2})
+    assert not os.path.exists(path + ".tmp")
+    restored = load_pytree(path, {"w": np.zeros(4)})
+    np.testing.assert_array_equal(restored["w"], np.arange(4.0) * 2)
+
+
 def test_fit_drives_timed_checkpointer(tmp_path):
     import jax
 
