@@ -42,6 +42,44 @@ def weighted_rmse(traj: np.ndarray, ref: np.ndarray, grid: Grid,
     return float(np.sqrt((err2 * w).sum() / (w.sum() * err2.shape[0])))
 
 
+def window_mean_rmse(traj: np.ndarray, ref: np.ndarray, grid: Grid,
+                     window: int, ps=1.0e5) -> np.ndarray:
+    """Weighted RMSE between *time-averaged* fields per window.
+
+    The reference's monthly online RMSE is computed on monthly-mean (h0)
+    output fields, not on instantaneous states
+    (monthly-online-rmse-visualization.ipynb cells 5-7: the h0 monthly
+    means of the hybrid run vs the MMF ensemble).  Time-averaging over a
+    month collapses chaotic internal variability, so this metric exposes
+    the model's *systematic* bias -- the quantity that decides
+    coupling-grade -- where the instantaneous RMSE saturates at the
+    attractor spread for any model, good or bad.
+
+    Returns an array of one RMSE per complete window.
+    """
+    n_win = traj.shape[0] // window
+    out = []
+    for i in range(n_win):
+        a = traj[i * window:(i + 1) * window].mean(axis=0, dtype=np.float64)
+        b = ref[i * window:(i + 1) * window].mean(axis=0, dtype=np.float64)
+        out.append(weighted_rmse(a[None], b[None], grid, ps))
+    return np.array(out)
+
+
+def ensemble_window_floor(member_trajs, grid: Grid, window: int,
+                          ps=1.0e5) -> np.ndarray:
+    """Noise floor for the window-mean RMSE: mean pairwise window-mean
+    RMSE between perturbed-IC reference members (per window)."""
+    import itertools
+
+    pairs = list(itertools.combinations(range(len(member_trajs)), 2))
+    if not pairs:
+        return np.zeros(member_trajs[0].shape[0] // window)
+    vals = [window_mean_rmse(member_trajs[i], member_trajs[j], grid,
+                             window, ps) for i, j in pairs]
+    return np.mean(vals, axis=0)
+
+
 def zonal_mean_bias(traj: np.ndarray, ref: np.ndarray, grid: Grid):
     """(lat, L) time-and-longitude mean bias, sorted by latitude."""
     bias = (traj - ref).mean(axis=0)  # (B, L)

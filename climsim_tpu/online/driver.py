@@ -93,6 +93,49 @@ def physics_q1_from_rh(x_v4_raw, spec, grid: Grid | None = None):
     return rh * qvs
 
 
+def newtonian_relaxation(clim_t, clim_q1, clim_u, tau_steps: float,
+                         dt: float = physics.DT_TIMESTEP, lat=None,
+                         diurnal_amp_k_per_day: float = 0.0,
+                         steps_per_day: int = 72):
+    """Prescribed host-dynamics forcing: Newtonian relaxation toward a
+    climatology, optionally with a latitude-modulated diurnal cycle.
+
+    The hybrid loop's host model (E3SM dynamics + the non-superparameterized
+    physics) continually forces the columns back toward a bounded climate;
+    without it the emulated-tendency system has no attractor and any rollout
+    -- reference MMF or hybrid alike -- drifts without bound.  This factory
+    supplies that role for driver-level coupled testing: T, q1 and u relax
+    toward ``clim_*`` with an e-folding time of ``tau_steps`` model steps,
+    plus an optional solar diurnal cycle in the T forcing (amplitude in
+    K/day at the equator, scaled by cos(lat)).
+
+    Applied identically to every run (reference ensemble members and the
+    hybrid candidate), exactly as the real host dynamics is shared by the
+    MMF and hybrid E3SM runs in the reference's online evaluation
+    (online_testing/evaluation/monthly-online-rmse-visualization.ipynb).
+    """
+    rate = 1.0 / (float(tau_steps) * dt)  # per-second relaxation rate
+    ct = jnp.asarray(clim_t)
+    cq = jnp.asarray(clim_q1)
+    cu = jnp.asarray(clim_u)
+    if lat is not None and diurnal_amp_k_per_day > 0.0:
+        prof = (diurnal_amp_k_per_day / 86400.0) * \
+            jnp.cos(jnp.deg2rad(jnp.asarray(lat)))[:, None]
+    else:
+        prof = None
+
+    def forcing(state, step):
+        ft = (ct - state.t) * rate
+        if prof is not None:
+            ft = ft + prof * jnp.sin(2.0 * jnp.pi * step / steps_per_day)
+        fq = (cq - state.q1) * rate
+        fu = (cu - state.u) * rate
+        # keep the scan carry dtype (f32 even under jax_enable_x64)
+        return jnp.stack([ft, fq, fu], axis=1).astype(state.dyn.dtype)
+
+    return forcing
+
+
 class HybridDriver:
     """Rollout engine around a wrapper fn(params, x_v4_raw) -> (B, 368)."""
 
@@ -140,7 +183,9 @@ class HybridDriver:
 
     # -- one hybrid step ---------------------------------------------------
     def step(self, params, s: ColumnState, step_idx) -> tuple:
-        x = self.assemble_v4(s)
+        return self._advance(params, s, self.assemble_v4(s), step_idx)
+
+    def _advance(self, params, s: ColumnState, x, step_idx) -> tuple:
         tend = self.wrapper(params, x)  # (B, 368) raw
         sl = self._sl
         dt_t = tend[:, sl["ptend_t"]]
@@ -166,21 +211,29 @@ class HybridDriver:
         )
         return new, tend
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def rollout(self, params, state0: ColumnState, n_steps: int):
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def rollout(self, params, state0: ColumnState, n_steps: int,
+                collect_features: bool = False):
         """lax.scan rollout; returns (final_state, trajectory dict).
 
         The trajectory includes the per-step column water-budget residual
         (the water_conservation.ipynb check): a coupling-grade emulator
         should keep it bounded over the rollout; secular growth flags a
         physics-breaking model.
+
+        ``collect_features=True`` additionally records the assembled raw
+        v4 feature vector at every step under key ``"x4"`` -- the
+        on-manifold sampling path used to build coupling training sets
+        from reference rollouts (scripts/online_eval.py).  Costs
+        n_steps x B x 1525 floats of HBM; segment long collections.
         """
         sl = self._sl
         hyai = jnp.asarray(self.grid.hyai)
         hybi = jnp.asarray(self.grid.hybi)
 
         def body(carry, step_idx):
-            new, tend = self.step(params, carry, step_idx)
+            x = self.assemble_v4(carry)
+            new, tend = self._advance(params, carry, x, step_idx)
             ps = carry.scalars[:, 0]
             lhflx = carry.scalars[:, 2]  # ps, SOLIN, LHFLX, ... scalar order
             wres = physics.column_water_residual(
@@ -189,10 +242,13 @@ class HybridDriver:
                 ps, hyai, hybi,
                 tend[:, sl["cam_out_PRECC"].start],
                 tend[:, sl["cam_out_PRECSC"].start], lhflx)
-            return new, {"t": new.t, "q1": new.q1,
-                         "qn": new.qc + new.qi, "u": new.u,
-                         "precc": tend[:, sl["cam_out_PRECC"].start],
-                         "water_res": wres}
+            out = {"t": new.t, "q1": new.q1,
+                   "qn": new.qc + new.qi, "u": new.u,
+                   "precc": tend[:, sl["cam_out_PRECC"].start],
+                   "water_res": wres}
+            if collect_features:
+                out["x4"] = x
+            return new, out
 
         final, traj = jax.lax.scan(body, state0, jnp.arange(n_steps))
         return final, traj
