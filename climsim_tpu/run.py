@@ -283,8 +283,13 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
     if cfg.train.elastic:
         # in-flight elastic run: device loss mid-training rebuilds the
         # mesh from survivors and resumes from the epoch-boundary
-        # snapshot (train/elastic.py).  HSR's staged loss and the
-        # rpn/multi-seed paths are out of scope for the elastic CLI.
+        # snapshot (train/elastic.py).  Ensemble paths have elastic
+        # support at the library level -- elastic_rpn_fit reshards the
+        # RPN member axis, and multiseed trainers run through plain
+        # elastic_fit (test_elastic.py) -- but this CLI branch wires
+        # only the single-model recipes; HSR's staged MSE->NLL loss
+        # needs a stage switch inside the epoch loop and stays on the
+        # fit() path.
         from .train.elastic import elastic_fit
 
         if cfg.model == "hsr":

@@ -126,12 +126,17 @@ def _snapshot(state):
 
 
 def _restore(snapshot, fresh_state, rules: ShardingRules):
-    """Lay a host snapshot out on the (new) mesh, preserving dtypes and
-    weak types of the freshly-initialized state."""
+    """Lay a host snapshot out on the (new) mesh, preserving dtypes, weak
+    types AND shardings of the freshly-initialized state: each leaf is
+    placed exactly where the rebuilt trainer laid its own copy (so
+    member/seed axes sharded over the model axis reshard correctly, not
+    just replicated)."""
     tree = jax.tree.map(
         lambda s, f: np.asarray(s, dtype=np.asarray(f).dtype),
         snapshot, fresh_state)
-    return jax.device_put(tree, rules.replicated)
+    shardings = jax.tree.map(
+        lambda f: getattr(f, "sharding", rules.replicated), fresh_state)
+    return jax.device_put(tree, shardings)
 
 
 def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
@@ -252,8 +257,11 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                     losses.append(metrics["loss"])
                 # host transfer forces the whole epoch; REAL device
                 # failures surface here as backend runtime errors
+                # (np.mean also handles per-seed loss VECTORS from
+                # multiseed trainers)
                 train_loss = float(np.mean(
-                    [float(jax.device_get(l)) for l in losses]))
+                    [np.mean(np.asarray(jax.device_get(l)))
+                     for l in losses]))
             # snapshot BEFORE validation: if a chip dies during
             # evaluate, the completed training is preserved (recovery
             # commits the epoch with val=nan instead of replaying it);
@@ -338,6 +346,107 @@ def elastic_fit(trainer_factory: Callable[[ShardingRules], object],
                                       f"to mesh {report.mesh_history[-1]}")
 
     return state, report
+
+
+def usable_model_size(n_devices: int, ensemble_size: int) -> int:
+    """Largest model-axis size that fits the healthy device count and
+    evenly shards the member axis (RPN/seed ensembles)."""
+    for m in range(min(n_devices, ensemble_size), 0, -1):
+        if ensemble_size % m == 0:
+            return m
+    raise ValueError(f"no usable model axis: {n_devices} devices for "
+                     f"{ensemble_size} members")
+
+
+def elastic_rpn_fit(rpn_factory: Callable[[ShardingRules], object],
+                    loader_factory: Callable[[ShardingRules], object],
+                    epochs: int,
+                    ensemble_size: int,
+                    *,
+                    devices=None,
+                    max_failures: int = 3,
+                    fault_injector: Callable[[int, int], None] | None = None,
+                    verbose: bool = False):
+    """Elastic training for the RPN ensemble (member-axis resharding).
+
+    The RPN trainer's member axis shards over the mesh ``model`` axis
+    (rpn_recipe.py: ens_sharding=rules.ensemble).  On device loss the
+    mesh is rebuilt with the largest model-axis size that still divides
+    ``ensemble_size`` -- members REDISTRIBUTE over the survivors (e.g. 32
+    members on 8 devices -> 4/device becomes 32 on 4 -> 8/device), and
+    the epoch-boundary snapshot of (params, opt_state, prior) is
+    resharded onto the new layout.  Same exactly-once-at-epoch semantics
+    as :func:`elastic_fit`.
+
+    rpn_factory : rules -> RPNTrainer (pass rules.ensemble as
+        ens_sharding).  Must be deterministic given the same rng so the
+        frozen prior is reproducible; the prior is ALSO restored from the
+        snapshot, so a non-deterministic factory only wastes init work.
+    loader_factory : rules -> BootstrapLoader (must expose set_epoch).
+    """
+    report = ElasticReport()
+    devices = list(jax.devices() if devices is None else devices)
+    epoch = 0
+
+    def build():
+        probe = probe_devices(devices)
+        if not probe:
+            raise RuntimeError("no healthy devices remain")
+        m = usable_model_size(len(probe), ensemble_size)
+        mesh = make_mesh(num_data=1, num_model=m, devices=probe[:m])
+        rules = ShardingRules(mesh)
+        tr = rpn_factory(rules)
+        loader = loader_factory(rules)
+        report.mesh_history.append((1, m))
+        return probe, rules, tr, loader
+
+    devices, rules, tr, loader = build()
+    params, opt_state, prior = tr.params, tr.opt_state, tr.prior
+    snapshot = _snapshot((params, opt_state, prior))
+
+    while epoch < epochs:
+        try:
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            losses = []
+            for i, (xb, yb) in enumerate(loader):
+                if fault_injector is not None:
+                    fault_injector(epoch, i)
+                params, opt_state, step_losses = tr.train_step(
+                    params, opt_state, prior, xb, yb)
+                losses.append(step_losses)
+            # member-mean loss; the transfer forces the epoch so real
+            # device failures surface here
+            train_loss = float(np.mean(
+                [np.asarray(jax.device_get(l)) for l in losses]))
+        except Exception as e:  # noqa: BLE001 -- triage below
+            injected = isinstance(e, DeviceFailure)
+            if not injected and not _is_device_error(e):
+                raise
+            report.failures += 1
+            if report.failures > max_failures:
+                raise
+            t0 = time.perf_counter()
+            if injected and e.lost:
+                devices = [d for d in devices if d not in e.lost]
+            if verbose:
+                print(f"elastic-rpn: failure #{report.failures} in epoch "
+                      f"{epoch}; rebuilding mesh")
+            devices, rules, tr, loader = build()
+            fresh = (tr.params, tr.opt_state, tr.prior)
+            params, opt_state, prior = _restore(snapshot, fresh, rules)
+            report.recovery_seconds.append(time.perf_counter() - t0)
+            continue  # replay the interrupted epoch
+
+        epoch += 1
+        report.epochs_completed = epoch
+        report.epoch_losses.append(train_loss)
+        snapshot = _snapshot((params, opt_state, prior))
+        if verbose:
+            print(f"elastic-rpn epoch {epoch - 1}: train {train_loss:.5f} "
+                  f"(mesh {report.mesh_history[-1]})")
+
+    return (params, opt_state, prior), report
 
 
 def _is_device_error(e: Exception) -> bool:
