@@ -96,12 +96,14 @@ def _free_port():
     return port
 
 
-def test_two_process_training_matches_single(tmp_path):
+def _run_two_process_cluster(template, tmp_path, timeout=240):
+    """Launch a real 2-process jax.distributed CPU cluster running
+    ``template`` and return each process's LOSSES line as a list."""
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER.replace("{repo!r}", repr(repo)))
+    script.write_text(template.replace("{repo!r}", repr(repo)))
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -112,13 +114,18 @@ def test_two_process_training_matches_single(tmp_path):
              for i in range(2)]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=240)
+        out, err = p.communicate(timeout=timeout)
         assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
         outs.append(out)
     losses = []
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("LOSSES")][0]
         losses.append([float(v) for v in line.split()[1:]])
+    return losses
+
+
+def test_two_process_training_matches_single(tmp_path):
+    losses = _run_two_process_cluster(_WORKER, tmp_path)
     # both processes observe the identical psum'd trajectory
     np.testing.assert_allclose(losses[0], losses[1], rtol=0, atol=0)
     assert len(losses[0]) == 4 and np.isfinite(losses[0]).all()
@@ -139,6 +146,103 @@ def test_two_process_training_matches_single(tmp_path):
                              jax.random.PRNGKey(0), rules=rules,
                              hidden=(32, 32), steps_per_epoch=4)
     loader = BatchLoader(x, y, batch_size=64, rules=rules, seed=7)
+    state = tr.state
+    single = []
+    for xb, yb in loader:
+        state, m = tr.train_step(state, xb, yb)
+        single.append(float(jax.device_get(m["loss"])))
+    np.testing.assert_allclose(single, losses[0], rtol=1e-6)
+
+
+_UNET_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CLIMSIM_TEST_COMPILE_CACHE",
+                                 "/tmp/climsim_jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+import dataclasses
+import numpy as np
+sys.path.insert(0, {repo!r})
+from climsim_tpu.data.pipeline import BatchLoader
+from climsim_tpu.data.synthetic import synthetic_inputs, synthetic_targets
+from climsim_tpu.grid import load_default_grid
+from climsim_tpu.norms import (compute_exponential_lambda,
+                               compute_norms_from_data)
+from climsim_tpu.parallel.mesh import ShardingRules, make_mesh
+from climsim_tpu.train import recipes
+from climsim_tpu.varspec import get_varspec
+
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8
+spec = get_varspec("v5")
+grid = load_default_grid()
+x = synthetic_inputs(spec, 128, grid, seed=0)
+y = synthetic_targets(spec, x, seed=1)
+stats = compute_norms_from_data(spec, x, y)
+stats = dataclasses.replace(stats, lbd_qn=compute_exponential_lambda(
+    x[:, spec.input_slices["state_qn"]]))
+rules = ShardingRules(make_mesh(num_data=8))
+tr = recipes.unet_trainer(spec, stats, (x, y), jax.random.PRNGKey(0),
+                          rules=rules, steps_per_epoch=4,
+                          model_kw=dict(model_channels=8,
+                                        channel_mult=(1, 2), num_blocks=1,
+                                        attn_resolutions=(), dropout=0.0))
+loader = BatchLoader(x, y, batch_size=32, rules=rules, seed=7)
+assert loader.pcount == 2 and loader.pidx == pid
+state = tr.state
+losses = []
+for xb, yb in loader:
+    state, m = tr.train_step(state, xb, yb)
+    losses.append(float(jax.device_get(m["loss"])))
+print("LOSSES", " ".join(f"{l:.8f}" for l in losses))
+"""
+
+
+def test_two_process_unet_matches_single(tmp_path):
+    """The flagship (U-Net v5) trains correctly through the REAL
+    2-process jax.distributed path with per-process loading: both ranks
+    see the identical psum'd trajectory, and it equals the
+    single-process run on the same data/mesh/seeds (the reference's
+    DDP U-Net path, train_unet_h5loader.py:132-140,194-206)."""
+    import dataclasses
+
+    losses = _run_two_process_cluster(_UNET_WORKER, tmp_path, timeout=540)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=0, atol=0)
+    assert len(losses[0]) == 4 and np.isfinite(losses[0]).all()
+
+    import jax
+
+    from climsim_tpu.data.synthetic import (synthetic_inputs,
+                                            synthetic_targets)
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.norms import (compute_exponential_lambda,
+                                   compute_norms_from_data)
+    from climsim_tpu.train import recipes
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v5")
+    grid = load_default_grid()
+    x = synthetic_inputs(spec, 128, grid, seed=0)
+    y = synthetic_targets(spec, x, seed=1)
+    stats = compute_norms_from_data(spec, x, y)
+    stats = dataclasses.replace(stats, lbd_qn=compute_exponential_lambda(
+        x[:, spec.input_slices["state_qn"]]))
+    rules = ShardingRules(make_mesh(num_data=8))
+    tr = recipes.unet_trainer(spec, stats, (x, y), jax.random.PRNGKey(0),
+                              rules=rules, steps_per_epoch=4,
+                              model_kw=dict(model_channels=8,
+                                            channel_mult=(1, 2),
+                                            num_blocks=1,
+                                            attn_resolutions=(),
+                                            dropout=0.0))
+    loader = BatchLoader(x, y, batch_size=32, rules=rules, seed=7)
     state = tr.state
     single = []
     for xb, yb in loader:
