@@ -14,26 +14,20 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
+def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12):
+    """Train all six offline baselines on (x_tr, y_tr) and score on
+    (x_sc, y_sc) in the common W/m^2 metric space.  The shared core of
+    the synthetic table (main) and the real-data runbook
+    (scripts/run_real_baselines.py).  Returns (tables, train_info)."""
     from climsim_tpu.data.pipeline import (BatchLoader, BootstrapLoader,
                                            DeviceResidentLoader)
-    from climsim_tpu.data.synthetic import synthetic_split
     from climsim_tpu.data.transforms import make_target_transform
     from climsim_tpu.eval.scoring import offline_score
-    from climsim_tpu.grid import load_default_grid
-    from climsim_tpu.norms import compute_norms_from_data
     from climsim_tpu.train import recipes
     from climsim_tpu.train.loop import run_epoch
     from climsim_tpu.train.rpn_recipe import rpn_trainer
-    from climsim_tpu.varspec import get_varspec
 
-    spec = get_varspec("v1")
-    grid = load_default_grid()
-    x, y = synthetic_split(spec, n=n_train + n_score, grid=grid, seed=0,
-                           noise=0.03)
-    stats = compute_norms_from_data(spec, x[:n_train], y[:n_train])
-    x_tr, y_tr = x[:n_train], y[:n_train]
-    x_sc, y_sc = x[n_train:], y[n_train:]
+    n_train, n_score = x_tr.shape[0], x_sc.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     Loader = DeviceResidentLoader if on_tpu else BatchLoader
 
@@ -133,6 +127,63 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
     x_sc_n = (x_sc - stats.inp_sub) / stats.inp_div
     tables, _ = offline_score(spec, grid, stats, x_sc_n, tgt, preds,
                               samples)
+    return tables, train_info
+
+
+def metric_tables_markdown(tables, reference=None):
+    """Per-metric markdown tables; with ``reference`` (variable ->
+    {metric: {model: value}} from BASELINE.md) a 'ref MODEL' column pair
+    is appended for side-by-side comparison."""
+    lines = []
+    models = list(tables)
+    for metric in ("MAE", "RMSE", "R2", "CRPS"):
+        have = [m for m in models
+                if any(metric in row for row in tables[m].values())]
+        if not have:
+            continue
+        rows = [v for v in tables[have[0]]
+                if metric in tables[have[0]][v]]
+        header = list(have)
+        if reference:
+            header += [f"ref {m}" for m in have]
+        lines += [f"## {metric}", "",
+                  "| Variable | " + " | ".join(header) + " |",
+                  "|---|" + "---|" * len(header)]
+        for v in rows:
+            vals = [f"{tables[m][v][metric]:.3f}" for m in have]
+            if reference:
+                ref_v = reference.get(v, {}).get(metric, {})
+                vals += [(f"{ref_v[m]:.3f}" if m in ref_v else "--")
+                         for m in have]
+            lines.append(f"| {v} | " + " | ".join(vals) + " |")
+        lines.append("")
+    return lines
+
+
+def training_table_markdown(train_info):
+    lines = ["## Training", "",
+             "| Model | final loss | samples/s | wall (s) |",
+             "|---|---|---|---|"]
+    for m, info in train_info.items():
+        lines.append(f"| {m} | {info['loss']:.4f} | "
+                     f"{info['sps']:,.0f} | {info['secs']} |")
+    return lines
+
+
+def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.norms import compute_norms_from_data
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v1")
+    grid = load_default_grid()
+    x, y = synthetic_split(spec, n=n_train + n_score, grid=grid, seed=0,
+                           noise=0.03)
+    stats = compute_norms_from_data(spec, x[:n_train], y[:n_train])
+    tables, train_info = train_and_score(
+        spec, grid, stats, x[:n_train], y[:n_train],
+        x[n_train:], y[n_train:], epochs=epochs)
 
     # render markdown
     lines = [
@@ -153,27 +204,8 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
         "init seeds; current tables are post-fix.",
         "",
     ]
-    models = list(tables)
-    for metric in ("MAE", "RMSE", "R2", "CRPS"):
-        have = [m for m in models
-                if any(metric in row for row in tables[m].values())]
-        if not have:
-            continue
-        rows = [v for v in tables[have[0]]
-                if metric in tables[have[0]][v]]
-        lines += [f"## {metric}", "",
-                  "| Variable | " + " | ".join(have) + " |",
-                  "|---|" + "---|" * len(have)]
-        for v in rows:
-            vals = " | ".join(f"{tables[m][v][metric]:.3f}" for m in have)
-            lines.append(f"| {v} | {vals} |")
-        lines.append("")
-    lines += ["## Training", "",
-              "| Model | final loss | samples/s | wall (s) |",
-              "|---|---|---|---|"]
-    for m, info in train_info.items():
-        lines.append(f"| {m} | {info['loss']:.4f} | "
-                     f"{info['sps']:,.0f} | {info['secs']} |")
+    lines += metric_tables_markdown(tables)
+    lines += training_table_markdown(train_info)
     lines += [
         "",
         "### Reading these numbers",
