@@ -1,0 +1,326 @@
+#!/usr/bin/env python
+"""Concurrent HPO sweep demonstration: N worker PROCESSES, one oracle dir.
+
+The reference's HPO story is 1000 KerasTuner trials coordinated by a
+chief/worker oracle over TCP across SLURM jobs
+(hpo_baseline_v1.py:17-43,224-245).  This framework replaces the server
+with a lock-free directory oracle (train/hpo.py: claim by exclusive file
+creation); unit tests cover the protocol, and THIS script demonstrates it
+at sweep scale under real process concurrency:
+
+  1. publishes --trials random-search trials (the reference's MLP space,
+     reduced depth/width so a trial is seconds not hours),
+  2. launches --workers concurrent OS processes that claim-and-run
+     against the shared directory,
+  3. KILLS one worker mid-trial (SIGKILL while it holds a claim); the
+     survivors take the orphaned trial over via the stale-claim path,
+  4. runs a small Hyperband bracket on the same trial function,
+  5. finishes with retrain_best (the reference's step2_retrain.py flow),
+  6. writes docs/HPO.md with the results table + wall-clock.
+
+Worker processes run on CPU (JAX_PLATFORMS=cpu): the sweep demonstrates
+COORDINATION; per-trial device placement is orthogonal (on a pod each
+worker owns its chips).
+
+Usage:  python scripts/run_hpo_sweep.py [--trials 50] [--workers 4]
+Internal: python scripts/run_hpo_sweep.py --worker-dir D --data F ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sweep_space():
+    """Reduced MLP space (same axes as hpo_baseline_v1.py:66-77; depth and
+    width shrunk so 50 trials finish in minutes on one core)."""
+    from climsim_tpu.train.hpo import Choice, IntRange, SearchSpace
+
+    return SearchSpace({
+        "num_layers": IntRange(1, 3),
+        "units": IntRange(32, 128, 32),
+        "activation": Choice(("relu", "elu", "leakyrelu")),
+        "batch_size": Choice((128, 256, 512)),
+        "optimizer": Choice(("adam", "radam", "rmsprop")),
+    })
+
+
+def sample_trial(rng):
+    from climsim_tpu.train.hpo import sample_mlp_trial
+
+    return sample_mlp_trial(sweep_space(), rng)
+
+
+def make_trial_fn(data_path: str, steps: int, slow_idx: int | None = None):
+    """(hp, [resource]) -> val loss.  Loads the shared synthetic split
+    once; each trial builds + trains an MLP and scores held-out data."""
+    import jax
+    import numpy as np
+
+    from climsim_tpu.norms import compute_norms_from_data
+    from climsim_tpu.train import recipes
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v1")
+    blob = np.load(data_path)
+    x, y = blob["x"], blob["y"]
+    n_val = x.shape[0] // 8
+    x_tr, y_tr = x[:-n_val], y[:-n_val]
+    x_val, y_val = x[-n_val:], y[-n_val:]
+    stats = compute_norms_from_data(spec, x_tr, y_tr)
+
+    def trial_fn(hp, resource: int | None = None, _idx=None,
+                 _victim=False):
+        if _victim:
+            time.sleep(600)  # the victim: holds its claim until killed
+        n_steps = steps if resource is None else int(steps * resource)
+        bs = int(hp["batch_size"])
+        tr = recipes.mlp_trainer(
+            spec, stats, (x_tr[:bs], y_tr[:bs]), jax.random.PRNGKey(0),
+            hidden=tuple(hp["hidden"]), activation=hp["activation"],
+            optimizer_name=hp["optimizer"], steps_per_epoch=max(n_steps, 1))
+        state = tr.state
+        rng = np.random.default_rng(1)
+        for _ in range(n_steps):
+            idx = rng.integers(0, x_tr.shape[0], bs)
+            state, _m = tr.train_step(state, x_tr[idx], y_tr[idx])
+        m = tr.eval_step(state.params, x_val[:2048], y_val[:2048])
+        return float(jax.device_get(m["loss"]))
+
+    return trial_fn
+
+
+def worker_main(args):
+    """Claim-and-run loop in a standalone process."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from climsim_tpu.train.hpo import DirectoryOracle
+
+    oracle = DirectoryOracle(args.worker_dir)
+    trial_fn = make_trial_fn(args.data, args.steps)
+    done = 0
+    claimed_any = False
+    # hpo.run_worker's claim loop, with two sweep-scale additions: the
+    # trial idx is threaded through (so the victim can stall on its
+    # designated trial), and workers make REPEATED passes until every
+    # trial has a result -- a crashed worker's orphan only becomes
+    # claimable once its marker goes stale, which may be after the
+    # survivors' first pass
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        all_trials = oracle.trials()
+        for idx in all_trials:
+            if not oracle.claim(idx, stale_timeout=args.stale_timeout,
+                                max_retries=1):
+                continue
+            if idx in oracle.results():
+                continue
+            hp = oracle.load_trial(idx)
+            t0 = time.time()
+            # victim mode: stall forever on the FIRST claimed trial, so
+            # the SIGKILL provably orphans a held claim
+            score = trial_fn(hp, _idx=idx,
+                             _victim=args.victim and not claimed_any)
+            claimed_any = True
+            oracle.report(idx, score, worker=args.worker_id,
+                          seconds=round(time.time() - t0, 2))
+            done += 1
+        if len(oracle.results()) >= len(all_trials):
+            break
+        time.sleep(2.0)
+    print(f"worker {args.worker_id}: {done} trials")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--n-data", type=int, default=8192)
+    ap.add_argument("--stale-timeout", type=float, default=15.0)
+    ap.add_argument("--kill-after", type=float, default=20.0)
+    ap.add_argument("--out", default="docs/HPO.md")
+    ap.add_argument("--dir", default=None, help="oracle directory")
+    # internal worker-mode flags
+    ap.add_argument("--worker-dir", default=None)
+    ap.add_argument("--worker-id", type=int, default=-1)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--victim", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.worker_dir:
+        return worker_main(args)
+
+    # the orchestrator's own trial runs (Hyperband bracket, retrain_best)
+    # stay on CPU too: the sweep demonstrates coordination, and must not
+    # contend for a TPU another job may hold
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+    import tempfile
+
+    import numpy as np
+
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.train.hpo import DirectoryOracle, hyperband, retrain_best
+    from climsim_tpu.varspec import get_varspec
+
+    t_all = time.time()
+    work = args.dir or tempfile.mkdtemp(prefix="hpo_sweep_")
+    os.makedirs(work, exist_ok=True)
+    spec = get_varspec("v1")
+    x, y = synthetic_split(spec, n=args.n_data, grid=load_default_grid(),
+                           seed=0, noise=0.02)
+    data_path = os.path.join(work, "data.npz")
+    np.savez(data_path, x=x, y=y)
+
+    oracle = DirectoryOracle(os.path.join(work, "oracle"))
+    rng = np.random.default_rng(42)
+    oracle.publish([sample_trial(rng) for _ in range(args.trials)])
+    print(f"published {args.trials} trials in {oracle.dir}")
+
+    # launch workers; worker 0 is the victim -- it stalls on trial 3
+    # while holding the claim, and gets SIGKILLed
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def spawn(wid, victim=False):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--worker-dir", oracle.dir, "--worker-id", str(wid),
+               "--data", data_path, "--steps", str(args.steps),
+               "--stale-timeout", str(args.stale_timeout)]
+        if victim:
+            cmd += ["--victim"]
+        return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    t0 = time.time()
+    victim = spawn(0, victim=True)
+    workers = [spawn(i) for i in range(1, args.workers)]
+    time.sleep(args.kill_after)
+    victim.send_signal(signal.SIGKILL)
+    victim.wait()
+    kill_t = time.time() - t0
+    print(f"killed victim worker at t={kill_t:.0f}s")
+    for p in workers:
+        out, _ = p.communicate(timeout=3600)
+        print(out.strip()[-200:])
+        assert p.returncode == 0, out[-2000:]
+    sweep_seconds = time.time() - t0
+
+    res = oracle.results()
+    assert len(res) == args.trials, \
+        f"{len(res)}/{args.trials} trials completed"
+    takeovers = sorted(
+        int(m.group(1))
+        for f in os.listdir(oracle.dir)
+        if (m := re.match(r"claim_(\d+)\.retry\d+$", f)))
+    assert takeovers, "no stale-claim takeover happened (victim killed " \
+        "before claiming, or survivors never went stale)"
+    for t_idx in takeovers:
+        assert t_idx in res, f"taken-over trial {t_idx} has no result"
+    best_idx, best = oracle.best()
+    per_worker = {}
+    for r in res.values():
+        per_worker[r.get("worker", "?")] = \
+            per_worker.get(r.get("worker", "?"), 0) + 1
+
+    # Hyperband bracket on the same trial function (resource = step
+    # multiplier), single process: the bracket logic is sequential by
+    # construction; its trials could fan over the same oracle pattern
+    t1 = time.time()
+    trial_fn = make_trial_fn(data_path, max(args.steps // 4, 10))
+    hb_hp, hb_score = hyperband(
+        lambda hp, r: trial_fn(hp, resource=r), sample_trial,
+        directory=os.path.join(work, "hyperband"),
+        max_resource=9, eta=3, seed=7)
+    hb_seconds = time.time() - t1
+
+    # step-2 retrain of the sweep winner, 4x the trial budget
+    t2 = time.time()
+    long_fn = make_trial_fn(data_path, args.steps * 4)
+    hp_best, final_score = retrain_best(oracle, lambda hp: long_fn(hp))
+    retrain_seconds = time.time() - t2
+
+    top = sorted(res.items(), key=lambda kv: kv[1]["score"])[:10]
+    lines = [
+        "# HPO at sweep scale: concurrent workers, one directory oracle",
+        "",
+        f"Produced by `python scripts/run_hpo_sweep.py --trials "
+        f"{args.trials} --workers {args.workers}` -- {args.workers} "
+        "concurrent OS processes sharing one oracle directory "
+        "(train/hpo.py), with a worker SIGKILLed mid-trial.  The "
+        "reference coordinates the same sweep through a KerasTuner "
+        "chief/worker TCP oracle on SLURM (hpo_baseline_v1.py:224-245); "
+        "here coordination is lock-free exclusive file creation -- no "
+        "server, crash-safe.",
+        "",
+        f"- {args.trials} random-search trials (reduced NeurIPS MLP "
+        f"space), {args.steps} steps each, {args.n_data} synthetic v1 "
+        "samples",
+        f"- sweep wall-clock: **{sweep_seconds:.0f} s** with "
+        f"{args.workers} workers on this 1-core host "
+        "(workers interleave; on a multi-core/multi-host pool the same "
+        "directory protocol fans out unchanged)",
+        f"- worker 0 was SIGKILLed at t={kill_t:.0f}s while holding a "
+        "claim; survivors took the orphan over via the stale-claim "
+        f"retry path (trial(s) {takeovers}, marker claim_N.retryK) and "
+        "completed it",
+        f"- trials completed per worker: "
+        + ", ".join(f"w{k}: {v}" for k, v in sorted(per_worker.items())),
+        "",
+        "## Top 10 trials",
+        "",
+        "| rank | trial | val MSE | hidden | act | opt | batch | worker |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for rank, (idx, r) in enumerate(top, 1):
+        hp = oracle.load_trial(idx)
+        lines.append(
+            f"| {rank} | {idx} | {r['score']:.5f} | "
+            f"{tuple(hp['hidden'])} | {hp['activation']} | "
+            f"{hp['optimizer']} | {hp['batch_size']} | "
+            f"w{r.get('worker', '?')} |")
+    lines += [
+        "",
+        "## Hyperband",
+        "",
+        f"Successive-halving bracket (max_resource=9, eta=3) on the same "
+        f"space: best score {hb_score:.5f} with "
+        f"hidden={tuple(hb_hp['hidden'])}, {hb_hp['activation']}, "
+        f"{hb_hp['optimizer']}, batch {hb_hp['batch_size']} "
+        f"({hb_seconds:.0f} s).",
+        "",
+        "## Step-2 retrain (retrain_best)",
+        "",
+        f"Winner (trial {best_idx}, search score {best['score']:.5f}) "
+        f"retrained at 4x budget: final val MSE **{final_score:.5f}** "
+        f"({retrain_seconds:.0f} s).  Mirrors the reference's "
+        "step2_retrain.py flow.",
+        "",
+        f"Total wall-clock: {time.time() - t_all:.0f} s.",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}; total {time.time() - t_all:.0f}s")
+    return {"results": res, "best": best, "final_score": final_score,
+            "takeover": takeover_marker}
+
+
+if __name__ == "__main__":
+    main()

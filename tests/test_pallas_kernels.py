@@ -139,3 +139,51 @@ def test_int8_fused_mlp_accuracy():
     # and the dequantized weights themselves are close
     wdq = qs[0].astype(np.float32) * scales[0][None, :]
     assert np.abs(wdq - ws[0]).max() <= (np.abs(ws[0]).max() / 127) + 1e-6
+
+
+def test_fused_gn_silu_conv3_matches_xla_chain():
+    """The fused U-Net half-block kernel equals the XLA chain (and the
+    flax block math) to bf16-accumulation tolerance."""
+    import jax.numpy as jnp
+
+    from climsim_tpu.ops.unet_fused import (fused_gn_silu_conv3,
+                                            xla_gn_silu_conv3)
+
+    rng = np.random.default_rng(3)
+    for c, cout, groups in ((128, 128, 32), (256, 128, 32), (64, 64, 16)):
+        b, l = 16, 64
+        x = jnp.asarray(rng.standard_normal((b, l, c)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, c, cout)) / np.sqrt(3 * c),
+                        jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        ya = np.asarray(xla_gn_silu_conv3(x, gamma, beta, w, bias,
+                                          groups=groups))
+        yb = np.asarray(fused_gn_silu_conv3(x, gamma, beta, w, bias,
+                                            groups=groups, batch_tile=8))
+        np.testing.assert_allclose(ya, yb, rtol=0,
+                                   atol=2e-2 * np.abs(ya).max())
+
+    # and against the real flax UNet block half (norm0 -> silu -> conv0)
+    import flax.linen as nn
+
+    class Half(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.GroupNorm(num_groups=32, epsilon=1e-6,
+                             dtype=jnp.float32)(x)
+            h = nn.silu(h)
+            return nn.Conv(128, (3,), padding="SAME",
+                           dtype=jnp.bfloat16,
+                           param_dtype=jnp.float32)(h)
+
+    x = jnp.asarray(rng.standard_normal((8, 64, 128)), jnp.float32)
+    m = Half()
+    params = m.init(jax.random.PRNGKey(0), x)
+    ya = np.asarray(m.apply(params, x), np.float32)
+    p = params["params"]
+    yb = np.asarray(fused_gn_silu_conv3(
+        x, p["GroupNorm_0"]["scale"], p["GroupNorm_0"]["bias"],
+        p["Conv_0"]["kernel"], p["Conv_0"]["bias"], batch_tile=8))
+    np.testing.assert_allclose(ya, yb, rtol=0, atol=2e-2 * np.abs(ya).max())
