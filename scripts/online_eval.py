@@ -179,6 +179,11 @@ def main(argv=None):
     ap.add_argument("--seg", type=int, default=540,
                     help="rollout segment length (HBM bound)")
     ap.add_argument("--out", default="docs")
+    ap.add_argument("--cache", default=None,
+                    help="directory for phase artifacts (training set, "
+                         "trained params); a rerun resumes from the last "
+                         "completed phase instead of redoing tunnel-bound "
+                         "work")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -228,46 +233,73 @@ def main(argv=None):
     seg = min(args.seg, collect_steps)
     rng = np.random.default_rng(7)
 
-    xs5 = []
-    for r in range(args.collect_rollouts):
-        xr = x0.copy()
-        # spread collection ICs wider than the 0.05 K evaluation
-        # perturbation: the training set should cover the basin
-        xr[:, spec4.input_slices["state_t"]] += \
-            0.5 * rng.standard_normal((ncol, 60)).astype(np.float32)
-        _, tr = segmented_rollout(oracle_driver, None,
-                                  initial_state(xr, grid),
-                                  collect_steps, seg, ["x4"], collect=True)
-        xs5.append(convert_v4_to_v5(
-            tr["x4"].reshape(-1, spec4.input_len)).astype(np.float32))
-        print(f"collection rollout {r}: {collect_steps} steps "
-              f"({xs5[-1].shape[0]} column samples)")
-    x_clean = np.concatenate(xs5)
+    cache_data = cache_params = None
+    if args.cache:
+        os.makedirs(args.cache, exist_ok=True)
+        tag = (f"c{collect_steps}x{args.collect_rollouts}"
+               f"_j{args.jitter.replace(',', '-')}")
+        cache_data = os.path.join(args.cache, f"trainset_{tag}.npz")
+        cache_params = os.path.join(
+            args.cache, f"params_{tag}_ch{args.channels}"
+                        f"_t{args.train_steps}_b{args.batch}.pkl")
 
-    # jitter augmentation: re-query the oracle at perturbed states so the
-    # model learns correct tendencies on the tube around the attractor
-    col_std = (x_clean.std(axis=0, keepdims=True) + 1e-12).astype(
-        np.float32)
-    parts = [x_clean]
-    for amp in jit_amps:
-        # float32 RNG directly: half the bytes, ~2x faster on the host
-        noise = rng.standard_normal(x_clean.shape, dtype=np.float32)
-        noise *= np.float32(amp) * col_std
-        noise += x_clean
-        noise[:, sl_icol] = x_clean[:, sl_icol]  # icol is categorical
-        parts.append(noise)
-    x = np.concatenate(parts)
-    del parts
-    print(f"jitter augmentation done [{time.time() - t_start:.0f}s]")
+    if cache_data and os.path.exists(cache_data):
+        blob = np.load(cache_data)
+        x, y = blob["x"], blob["y"]
+        # consume the same host-RNG draws the build path would have, so
+        # the later rollout IC perturbations are identical either way
+        for _ in range(args.collect_rollouts):
+            rng.standard_normal((ncol, 60), dtype=np.float64)
+        print(f"training set: {x.shape[0]} samples (cache hit) "
+              f"[{time.time() - t_start:.0f}s]")
+    else:
+        xs5 = []
+        for r in range(args.collect_rollouts):
+            xr = x0.copy()
+            # spread collection ICs wider than the 0.05 K evaluation
+            # perturbation: the training set should cover the basin
+            xr[:, spec4.input_slices["state_t"]] += \
+                rng.standard_normal((ncol, 60)).astype(np.float32) * 0.5
+            _, tr = segmented_rollout(oracle_driver, None,
+                                      initial_state(xr, grid),
+                                      collect_steps, seg, ["x4"],
+                                      collect=True)
+            xs5.append(convert_v4_to_v5(
+                tr["x4"].reshape(-1, spec4.input_len)).astype(np.float32))
+            print(f"collection rollout {r}: {collect_steps} steps "
+                  f"({xs5[-1].shape[0]} column samples)")
+        x_clean = np.concatenate(xs5)
 
-    def oracle_host(xa, bs=16384):
-        return np.concatenate([
-            np.asarray(oracle_v5(jnp.asarray(xa[i:i + bs])))
-            for i in range(0, xa.shape[0], bs)])
+        # jitter augmentation: re-query the oracle at perturbed states so
+        # the model learns correct tendencies on the tube around the
+        # attractor
+        col_std = (x_clean.std(axis=0, keepdims=True) + 1e-12).astype(
+            np.float32)
+        parts = [x_clean]
+        jrng = np.random.default_rng(17)
+        for amp in jit_amps:
+            # float32 RNG directly: half the bytes, ~2x faster on host
+            noise = jrng.standard_normal(x_clean.shape, dtype=np.float32)
+            noise *= np.float32(amp) * col_std
+            noise += x_clean
+            noise[:, sl_icol] = x_clean[:, sl_icol]  # icol: categorical
+            parts.append(noise)
+        x = np.concatenate(parts)
+        del parts
+        print(f"jitter augmentation done [{time.time() - t_start:.0f}s]")
 
-    y = oracle_host(x)
-    print(f"training set: {x.shape[0]} samples "
-          f"({len(jit_amps)} jitter copies) [{time.time() - t_start:.0f}s]")
+        def oracle_host(xa, bs=65536):
+            return np.concatenate([
+                np.asarray(oracle_v5(jnp.asarray(xa[i:i + bs])))
+                for i in range(0, xa.shape[0], bs)])
+
+        y = oracle_host(x)
+        print(f"training set: {x.shape[0]} samples "
+              f"({len(jit_amps)} jitter copies) "
+              f"[{time.time() - t_start:.0f}s]")
+        if cache_data:
+            np.savez(cache_data, x=x, y=y)
+            print(f"cached training set -> {cache_data}")
 
     n_norm = min(x.shape[0], 200_000)
     stats = compute_norms_from_data(spec5, x[:n_norm], y[:n_norm])
@@ -282,24 +314,45 @@ def main(argv=None):
                       num_blocks=2, attn_resolutions=(16,),
                       output_prune=True))
     state = tr.state
-    n_tr = x.shape[0]
-    order = rng.permutation(n_tr)
-    pos = 0
-    loss_ema = None
-    for i in range(args.train_steps):
-        if pos + args.batch > n_tr:
-            order = rng.permutation(n_tr)
-            pos = 0
-        idx = order[pos:pos + args.batch]
-        pos += args.batch
-        state, m = tr.train_step(state, x[idx], y[idx])
-        if i % 200 == 0 or i == args.train_steps - 1:
-            l = float(m["loss"])
-            loss_ema = l if loss_ema is None else 0.7 * loss_ema + 0.3 * l
-            print(f"step {i}: loss {l:.5f}")
-    train_loss = loss_ema if loss_ema is not None else float("nan")
-    print(f"trained {args.train_steps} steps, loss(ema) {train_loss:.5f} "
-          f"[{time.time() - t_start:.0f}s]")
+    if cache_params and os.path.exists(cache_params):
+        import pickle
+
+        with open(cache_params, "rb") as f:
+            blob = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, blob["params"])
+        state = state.replace(params=params)
+        train_loss = blob["loss"]
+        print(f"trained params: cache hit ({cache_params}, "
+              f"loss {train_loss:.5f})")
+    else:
+        n_tr = x.shape[0]
+        trng = np.random.default_rng(23)
+        order = trng.permutation(n_tr)
+        pos = 0
+        loss_ema = None
+        for i in range(args.train_steps):
+            if pos + args.batch > n_tr:
+                order = trng.permutation(n_tr)
+                pos = 0
+            idx = order[pos:pos + args.batch]
+            pos += args.batch
+            state, m = tr.train_step(state, x[idx], y[idx])
+            if i % 200 == 0 or i == args.train_steps - 1:
+                l = float(m["loss"])
+                loss_ema = (l if loss_ema is None
+                            else 0.7 * loss_ema + 0.3 * l)
+                print(f"step {i}: loss {l:.5f}")
+        train_loss = loss_ema if loss_ema is not None else float("nan")
+        print(f"trained {args.train_steps} steps, loss(ema) "
+              f"{train_loss:.5f} [{time.time() - t_start:.0f}s]")
+        if cache_params:
+            import pickle
+
+            with open(cache_params, "wb") as f:
+                pickle.dump({"params": jax.tree.map(np.asarray,
+                                                    state.params),
+                             "loss": train_loss}, f)
+            print(f"cached params -> {cache_params}")
     hybrid_wrap = W.make_wrapper(
         lambda p, xn: tr.model.apply(p, xn), stats,
         W.WrapperConfig(input_version="v4"))
