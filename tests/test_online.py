@@ -293,3 +293,78 @@ def test_v2rh_rollout_and_retrain_best(tmp_path):
     oracle.report(1, 0.5)
     hp, res = retrain_best(oracle, lambda hp: ("trained", hp["lr"]))
     assert hp["lr"] == 0.01 and res[1] == 0.01
+
+
+def test_window_mean_rmse_and_floor():
+    """Monthly-MEAN RMSE: time-averaging kills zero-mean noise (the metric
+    exposes bias, unlike instantaneous RMSE which floors at the noise
+    level), and the member floor matches the hand-computed pairwise
+    value."""
+    from climsim_tpu.eval import online_diags as D
+    from climsim_tpu.grid import synthetic_grid
+
+    grid = synthetic_grid(ncol=16)
+    rng = np.random.default_rng(0)
+    T, B, L = 240, grid.ncol, 60
+    ref = 250.0 + rng.standard_normal((T, B, L))
+
+    # traj A: same signal + zero-mean noise -> window-mean RMSE ~ noise/sqrt(W)
+    noise = rng.standard_normal((T, B, L))
+    mm_noise = D.window_mean_rmse(ref + noise, ref, grid, window=120)
+    inst_noise = D.weighted_rmse(ref + noise, ref, grid)
+    assert mm_noise.shape == (2,)
+    assert np.all(mm_noise < 0.25 * inst_noise)  # averaged down ~1/sqrt(120)
+
+    # traj B: pure bias of 0.5 K -> window-mean RMSE == 0.5 exactly
+    mm_bias = D.window_mean_rmse(ref + 0.5, ref, grid, window=120)
+    np.testing.assert_allclose(mm_bias, 0.5, rtol=1e-6)
+
+    # floor: mean pairwise window-mean RMSE, hand-checked for 3 members
+    members = [ref + rng.standard_normal((T, B, L)) for _ in range(3)]
+    floor = D.ensemble_window_floor(members, grid, window=120)
+    hand = np.mean([D.window_mean_rmse(members[i], members[j], grid, 120)
+                    for i, j in ((0, 1), (0, 2), (1, 2))], axis=0)
+    np.testing.assert_allclose(floor, hand, rtol=0)
+
+
+def test_newtonian_relaxation_forcing():
+    """The host-dynamics factory: relaxes toward climatology at the right
+    rate, diurnal term modulates by cos(lat) and sin(step), carry dtype
+    preserved."""
+    import jax.numpy as jnp
+
+    from climsim_tpu.data.synthetic import synthetic_inputs
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.online.driver import (initial_state,
+                                           newtonian_relaxation)
+    from climsim_tpu.varspec import get_varspec
+
+    grid = load_default_grid()
+    spec4 = get_varspec("v4")
+    x0 = synthetic_inputs(spec4, grid.ncol, grid, seed=0)
+    s = initial_state(x0, grid)
+    clim_t = np.asarray(s.t) + 2.0  # offset so the forcing is nonzero
+    dt = 1200.0
+    tau = 144.0
+
+    f = newtonian_relaxation(clim_t, np.asarray(s.q1), np.asarray(s.u),
+                             tau_steps=tau, dt=dt)
+    out = f(s, 0)
+    assert out.shape == (grid.ncol, 3, 60)
+    assert out.dtype == s.dyn.dtype
+    # T forcing = (clim - t)/ (tau*dt) = 2/(144*1200)
+    np.testing.assert_allclose(np.asarray(out[:, 0]),
+                               2.0 / (tau * dt), rtol=1e-4)
+    # q1/u relax toward their own climatology -> zero here
+    np.testing.assert_allclose(np.asarray(out[:, 1]), 0.0, atol=1e-12)
+
+    # diurnal: at step = steps_per_day/4, sin = 1 -> amp*cos(lat)/86400
+    fd = newtonian_relaxation(clim_t, np.asarray(s.q1), np.asarray(s.u),
+                              tau_steps=tau, dt=dt, lat=grid.lat,
+                              diurnal_amp_k_per_day=3.0, steps_per_day=72)
+    base = np.asarray(f(s, 18)[:, 0])
+    with_d = np.asarray(fd(s, 18)[:, 0])
+    extra = with_d - base
+    expect = np.broadcast_to(
+        (3.0 / 86400.0) * np.cos(np.deg2rad(grid.lat))[:, None], (384, 60))
+    np.testing.assert_allclose(extra, expect, rtol=1e-3, atol=1e-10)
