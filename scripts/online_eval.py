@@ -138,19 +138,25 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
 
 
 def segmented_rollout(driver, params, state0, n_steps, seg, keys,
-                      collect=False):
+                      collect=False, label=None):
     """Run a long rollout in fixed-size segments, offloading each
     segment's trajectory to host (bounds HBM to seg x B x ~240 floats).
     Returns (final_state, {key: (n_steps, ...) np.float32})."""
+    import time as _time
+
     host = {k: [] for k in keys}
     s = state0
     done = 0
+    t0 = _time.time()
     while done < n_steps:
         n = min(seg, n_steps - done)
         s, tr = driver.rollout(params, s, n, collect)
         for k in keys:
             host[k].append(np.asarray(tr[k]))
         done += n
+        if label:
+            print(f"  {label}: {done}/{n_steps} steps "
+                  f"[{_time.time() - t0:.0f}s]", flush=True)
     return s, {k: np.concatenate(v) for k, v in host.items()}
 
 
@@ -263,7 +269,8 @@ def main(argv=None):
             _, tr = segmented_rollout(oracle_driver, None,
                                       initial_state(xr, grid),
                                       collect_steps, seg, ["x4"],
-                                      collect=True)
+                                      collect=True,
+                                      label=f"collect[{r}]")
             xs5.append(convert_v4_to_v5(
                 tr["x4"].reshape(-1, spec4.input_len)).astype(np.float32))
             print(f"collection rollout {r}: {collect_steps} steps "
@@ -368,7 +375,8 @@ def main(argv=None):
                 0.05 * rng.standard_normal((ncol, 60)).astype(np.float32)
         _, traj = segmented_rollout(oracle_driver, None,
                                     initial_state(xm, grid), args.steps,
-                                    min(args.seg, args.steps), keys_m)
+                                    min(args.seg, args.steps), keys_m,
+                                    label=f"member[{mi}]")
         members.append(traj)
         print(f"ensemble member {mi}: {args.steps}-step rollout done "
               f"[{time.time() - t_start:.0f}s]")
@@ -376,7 +384,8 @@ def main(argv=None):
     hybrid_driver = HybridDriver(hybrid_wrap, grid, dyn_forcing=forcing)
     _, htraj = segmented_rollout(hybrid_driver, state.params,
                                  initial_state(x0, grid), args.steps,
-                                 min(args.seg, args.steps), keys_h)
+                                 min(args.seg, args.steps), keys_h,
+                                 label="hybrid")
     print(f"hybrid rollout done [{time.time() - t_start:.0f}s]")
 
     # ---- 5. diagnostics ---------------------------------------------------
