@@ -56,8 +56,11 @@ def initial_state(x_v4_raw: np.ndarray, grid: Grid | None = None
     prof = lambda n: j(x_v4_raw[:, sl[n]])
     scal_names = [v for v in spec.inputs if spec.input_slices[v].stop -
                   spec.input_slices[v].start == 1]
-    scalars = j(np.concatenate(
-        [x_v4_raw[:, sl[n]] for n in scal_names], axis=1))
+    # jnp.concatenate keeps device inputs on device (np.concatenate would
+    # silently round-trip jax arrays through host memory -- fatal on a
+    # slow-D2H tunnel when building large on-device IC pools)
+    scalars = jnp.concatenate(
+        [j(x_v4_raw[:, sl[n]]) for n in scal_names], axis=1)
     stack = lambda names: jnp.stack([prof(n) for n in names], axis=1)
     return ColumnState(
         t=prof("state_t"), q1=physics_q1_from_rh(x_v4_raw, spec, grid),
@@ -141,10 +144,17 @@ class HybridDriver:
 
     def __init__(self, wrapper: Callable, grid: Grid,
                  dyn_forcing: Callable | None = None,
-                 dt: float = physics.DT_TIMESTEP):
+                 dt: float = physics.DT_TIMESTEP, remat: bool = False):
+        """``remat=True`` wraps each rollout step in ``jax.checkpoint`` so
+        a differentiated rollout (train/rollout_ft.py) recomputes step
+        activations in the backward pass instead of storing all K steps'
+        intermediates -- O(1)-step instead of O(K)-step HBM (a K=16 U-Net
+        fine-tune otherwise exceeds a v5e chip's 16 GB).  Costs one extra
+        forward per step only when gradients are taken."""
         self.wrapper = wrapper
         self.grid = grid
         self.dt = dt
+        self.remat = remat
         self.dyn_forcing = dyn_forcing or (lambda state, step: (
             jnp.zeros_like(state.dyn)))
         spec = get_varspec("v4")
@@ -250,6 +260,8 @@ class HybridDriver:
                 out["x4"] = x
             return new, out
 
+        if self.remat:
+            body = jax.checkpoint(body)
         final, traj = jax.lax.scan(body, state0, jnp.arange(n_steps))
         return final, traj
 

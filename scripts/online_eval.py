@@ -15,15 +15,22 @@ host model's dynamics -- which in the real coupled system continually
 forces columns back toward a bounded climate -- is played by a shared
 Newtonian-relaxation + diurnal-cycle forcing (driver.newtonian_relaxation),
 identical for every run.  Under it the oracle system is chaotic with a
-saturating attractor (perturbed-IC members diverge 0.05 K -> ~13 K and
-then plateau), i.e. it has the structure the online test needs.
+saturating attractor, i.e. it has the structure the online test needs.
 
 The candidate is a v5 U-Net trained ON-MANIFOLD: states are sampled from
-oracle rollouts (the driver's collect_features path), augmented with
-jittered copies whose targets are re-queried from the oracle -- the
-standard stabilization for autoregressive emulators (the model learns the
-restoring tendency on the tube *around* the attractor it will actually
-visit when its own errors perturb the state).
+oracle rollouts (the driver's collect_features path), jitter-augmented
+on the fly with labels re-queried from the oracle -- the standard
+stabilization for autoregressive emulators.  Optionally followed by
+differentiable K-step rollout fine-tuning through the full hybrid loop
+(train/rollout_ft.py), a stage the reference structurally cannot run.
+
+DEVICE-RESIDENT BY DESIGN: collection, training-set storage (bf16),
+jitter augmentation, oracle labelling, training, fine-tuning, and every
+rollout diagnostic are computed on the TPU; only KB-scale reductions
+(per-step scalar curves, (ncol, 60) window sums, precipitation series)
+ever cross to host.  On a remote-attached chip the host link can be
+~2 MB/s for device->host; the earlier host-centric version of this
+script moved ~30 GB and took hours in transfers alone.
 
 Diagnostics:
   1. monthly-MEAN weighted T RMSE vs the ensemble, against the pairwise
@@ -32,12 +39,13 @@ Diagnostics:
      collapses chaotic noise, so this is the bias-sensitive,
      coupling-grade-deciding number.
   2. instantaneous error growth (saturating vs diverging)
-  3. zonal-mean bias map, precipitation statistics, drift, microphysics
+  3. zonal-mean bias map, precipitation statistics, drift, microphysics,
+     column water-budget residual
   4. figures + a markdown report with an explicit PASS/FAIL verdict
      against the stated criterion (monthly-mean RMSE <= 1.5x floor,
      saturating growth).
 
-Usage: python scripts/online_eval.py   (full 90-day run, ~real TPU)
+Usage: python scripts/online_eval.py   (full 90-day run on TPU)
        python scripts/online_eval.py --steps 216 --window 72 ...  (smoke)
 """
 
@@ -137,29 +145,6 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
     return wrapper, oracle_v5, fit_standardizer
 
 
-def segmented_rollout(driver, params, state0, n_steps, seg, keys,
-                      collect=False, label=None):
-    """Run a long rollout in fixed-size segments, offloading each
-    segment's trajectory to host (bounds HBM to seg x B x ~240 floats).
-    Returns (final_state, {key: (n_steps, ...) np.float32})."""
-    import time as _time
-
-    host = {k: [] for k in keys}
-    s = state0
-    done = 0
-    t0 = _time.time()
-    while done < n_steps:
-        n = min(seg, n_steps - done)
-        s, tr = driver.rollout(params, s, n, collect)
-        for k in keys:
-            host[k].append(np.asarray(tr[k]))
-        done += n
-        if label:
-            print(f"  {label}: {done}/{n_steps} steps "
-                  f"[{_time.time() - t0:.0f}s]", flush=True)
-    return s, {k: np.concatenate(v) for k, v in host.items()}
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6480,
@@ -179,20 +164,36 @@ def main(argv=None):
                     help="oracle-rollout steps per collection run for the "
                          "training set (auto from train volume if unset)")
     ap.add_argument("--collect-rollouts", type=int, default=2)
+    ap.add_argument("--collect-stride", type=int, default=2,
+                    help="keep every k-th collected step (consecutive "
+                         "steps are highly correlated; stride trades HBM "
+                         "for rollout length)")
     ap.add_argument("--jitter", default="0.01,0.03",
-                    help="comma list of jitter amplitudes (x feature std) "
-                         "for off-manifold augmentation; empty disables")
+                    help="comma list of jitter amplitudes (x feature std); "
+                         "each training row draws uniformly from "
+                         "{clean} + amps, labels re-queried from the "
+                         "oracle on device; empty disables")
     ap.add_argument("--seg", type=int, default=540,
-                    help="rollout segment length (HBM bound)")
+                    help="rollout segment length (HBM + dispatch bound); "
+                         "snapped down to a divisor of the window")
+    ap.add_argument("--ft-steps", type=int, default=0,
+                    help="differentiable K-step rollout fine-tune updates "
+                         "after supervised training (train/rollout_ft.py); "
+                         "0 disables")
+    ap.add_argument("--ft-k", type=int, default=16,
+                    help="rollout horizon K of the fine-tune loss")
+    ap.add_argument("--ft-lr", type=float, default=1e-4)
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="train steps fused per dispatch (lax.scan)")
     ap.add_argument("--out", default="docs")
     ap.add_argument("--cache", default=None,
-                    help="directory for phase artifacts (training set, "
-                         "trained params); a rerun resumes from the last "
-                         "completed phase instead of redoing tunnel-bound "
-                         "work")
+                    help="directory for phase artifacts (norm stats, "
+                         "trained/fine-tuned params -- all small); a rerun "
+                         "resumes after the last completed phase")
     args = ap.parse_args(argv)
 
-    import dataclasses
+    import itertools
+    import pickle
     import time
 
     import jax
@@ -201,25 +202,40 @@ def main(argv=None):
     from climsim_tpu.data.synthetic import synthetic_inputs
     from climsim_tpu.eval import online_diags as D
     from climsim_tpu.grid import load_default_grid
-    from climsim_tpu.norms import (compute_exponential_lambda,
-                                   compute_norms_from_data)
+    from climsim_tpu.norms import NormStats
     from climsim_tpu.online import wrapper as W
     from climsim_tpu.online.driver import (HybridDriver, initial_state,
                                            newtonian_relaxation)
     from climsim_tpu.online.wrapper import convert_v4_to_v5
     from climsim_tpu.train import recipes
+    from climsim_tpu.utils.cache import enable_compile_cache
     from climsim_tpu.varspec import get_varspec
 
+    enable_compile_cache()
     t_start = time.time()
+    print(f"devices: {jax.devices()}", flush=True)
+    f32 = jnp.float32
     spec5, spec4 = get_varspec("v5"), get_varspec("v4")
     grid = load_default_grid()
     ncol = grid.ncol
-    sl_icol = spec5.input_slices["icol"]
+    sl_icol5 = spec5.input_slices["icol"]
+
+    # window/segment geometry: window divides steps, seg divides window
+    n_win = max(args.steps // args.window, 1)
+    window = args.steps // n_win if args.steps % args.window else args.window
+    steps = n_win * window
+    seg = next(d for d in range(min(args.seg, window), 0, -1)
+               if window % d == 0)
+    segs_per_win = window // seg
+    n_segs = steps // seg
+    if steps != args.steps or seg != args.seg:
+        print(f"geometry snapped: steps {args.steps}->{steps}, "
+              f"seg {args.seg}->{seg} ({n_win} windows x {window})")
 
     # ---- 1. oracle "MMF" + shared host dynamics --------------------------
     oracle_wrap, oracle_v5, fit_std = make_oracle_wrapper(spec5, spec4)
     x_std = synthetic_inputs(spec5, 4 * ncol, grid, seed=0)
-    x_std[:, sl_icol] = (np.arange(x_std.shape[0]) % ncol + 1)[:, None]
+    x_std[:, sl_icol5] = (np.arange(x_std.shape[0]) % ncol + 1)[:, None]
     fit_std(x_std)  # FROZEN: part of the oracle system's definition
 
     x0 = synthetic_inputs(spec4, ncol, grid, seed=3)
@@ -230,198 +246,414 @@ def main(argv=None):
         diurnal_amp_k_per_day=args.diurnal)
     oracle_driver = HybridDriver(oracle_wrap, grid, dyn_forcing=forcing)
 
-    # ---- 2. on-manifold training set from oracle rollouts ----------------
-    jit_amps = [float(a) for a in args.jitter.split(",") if a.strip()]
-    n_copies = 1 + len(jit_amps)
-    collect_steps = args.collect_steps or max(4, min(
-        2700, args.train_steps * args.batch
-        // (ncol * args.collect_rollouts * n_copies)))
-    seg = min(args.seg, collect_steps)
-    rng = np.random.default_rng(7)
+    # diagnostic weights (online_diags._weights at ps=1e5), on device
+    w_np = (grid.p0 * grid.hyai[None, :] + grid.hybi[None, :] * 1.0e5)
+    w_np = (w_np[:, 1:] - w_np[:, :-1]) / 9.80616 * grid.area_wgt[:, None]
+    w_dev = jnp.asarray(w_np, f32)
+    w_sum = float(w_np.sum())
 
-    cache_data = cache_params = None
+    jit_amps = [float(a) for a in args.jitter.split(",") if a.strip()]
+    stride = max(args.collect_stride, 1)
+    collect_steps = args.collect_steps or max(seg, min(
+        3600, args.train_steps * args.batch * stride
+        // (ncol * args.collect_rollouts * (1 + len(jit_amps)))))
+    collect_steps = -(-collect_steps // seg) * seg  # round up to segments
+
+    # ---- phase caches (all small: norm vectors + params) -----------------
+    cache_stats = cache_params = cache_ft = None
     if args.cache:
         os.makedirs(args.cache, exist_ok=True)
-        tag = (f"c{collect_steps}x{args.collect_rollouts}"
+        tag = (f"c{collect_steps}x{args.collect_rollouts}s{stride}"
                f"_j{args.jitter.replace(',', '-')}")
-        cache_data = os.path.join(args.cache, f"trainset_{tag}.npz")
+        cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
         cache_params = os.path.join(
             args.cache, f"params_{tag}_ch{args.channels}"
                         f"_t{args.train_steps}_b{args.batch}.pkl")
+        if args.ft_steps > 0:
+            cache_ft = os.path.join(
+                args.cache, f"ftparams_{tag}_ch{args.channels}"
+                            f"_t{args.train_steps}_b{args.batch}"
+                            f"_k{args.ft_k}_s{args.ft_steps}"
+                            f"_lr{args.ft_lr:g}.pkl")
 
-    if cache_data and os.path.exists(cache_data):
-        blob = np.load(cache_data)
-        x, y = blob["x"], blob["y"]
-        # consume the same host-RNG draws the build path would have, so
-        # the later rollout IC perturbations are identical either way
-        for _ in range(args.collect_rollouts):
-            rng.standard_normal((ncol, 60), dtype=np.float64)
-        print(f"training set: {x.shape[0]} samples (cache hit) "
-              f"[{time.time() - t_start:.0f}s]")
-    else:
-        xs5 = []
+    have_stats = cache_stats and os.path.exists(cache_stats)
+    have_params = cache_params and os.path.exists(cache_params)
+    have_ft = (args.ft_steps == 0) or (cache_ft and os.path.exists(cache_ft))
+    need_collection = not (have_stats and have_params and have_ft)
+
+    # ---- 2. device-resident on-manifold training set ---------------------
+    # Oracle rollouts collected ON DEVICE: every stride-th step's raw v4
+    # features are converted to v5 and stored bf16 in HBM.  Nothing large
+    # ever crosses to host.
+    crng = np.random.default_rng(7)
+    collect_perturbs = [
+        crng.standard_normal((ncol, 60)).astype(np.float32) * 0.5
+        for _ in range(args.collect_rollouts)]
+
+    x5_dev = None
+    ft_pool_x4 = None
+    if need_collection:
+        to_v5_bf16 = jax.jit(lambda x4: convert_v4_to_v5(
+            x4.reshape(-1, spec4.input_len)).astype(jnp.bfloat16))
+        parts, pool_parts = [], []
+        ft_pool_stride = max(stride, 8)
         for r in range(args.collect_rollouts):
             xr = x0.copy()
             # spread collection ICs wider than the 0.05 K evaluation
             # perturbation: the training set should cover the basin
-            xr[:, spec4.input_slices["state_t"]] += \
-                rng.standard_normal((ncol, 60)).astype(np.float32) * 0.5
-            _, tr = segmented_rollout(oracle_driver, None,
-                                      initial_state(xr, grid),
-                                      collect_steps, seg, ["x4"],
-                                      collect=True,
-                                      label=f"collect[{r}]")
-            xs5.append(convert_v4_to_v5(
-                tr["x4"].reshape(-1, spec4.input_len)).astype(np.float32))
-            print(f"collection rollout {r}: {collect_steps} steps "
-                  f"({xs5[-1].shape[0]} column samples)")
-        x_clean = np.concatenate(xs5)
-
-        # jitter augmentation: re-query the oracle at perturbed states so
-        # the model learns correct tendencies on the tube around the
-        # attractor
-        col_std = (x_clean.std(axis=0, keepdims=True) + 1e-12).astype(
-            np.float32)
-        parts = [x_clean]
-        jrng = np.random.default_rng(17)
-        for amp in jit_amps:
-            # float32 RNG directly: half the bytes, ~2x faster on host
-            noise = jrng.standard_normal(x_clean.shape, dtype=np.float32)
-            noise *= np.float32(amp) * col_std
-            noise += x_clean
-            noise[:, sl_icol] = x_clean[:, sl_icol]  # icol: categorical
-            parts.append(noise)
-        x = np.concatenate(parts)
+            xr[:, spec4.input_slices["state_t"]] += collect_perturbs[r]
+            s = initial_state(xr, grid)
+            for k in range(collect_steps // seg):
+                s, tr = oracle_driver.rollout(None, s, seg, True)
+                parts.append(to_v5_bf16(tr["x4"][::stride]))
+                if r == 0 and args.ft_steps > 0:
+                    # keep the (step, ncol) structure: fine-tune ICs must
+                    # be whole 384-column grids (the host-dynamics
+                    # climatology is per-column)
+                    pool_parts.append(tr["x4"][::ft_pool_stride])
+                del tr
+                print(f"  collect[{r}]: {(k + 1) * seg}/{collect_steps} "
+                      f"steps [{time.time() - t_start:.0f}s]", flush=True)
+        x5_dev = jnp.concatenate(parts)
         del parts
-        print(f"jitter augmentation done [{time.time() - t_start:.0f}s]")
-
-        def oracle_host(xa, bs=65536):
-            return np.concatenate([
-                np.asarray(oracle_v5(jnp.asarray(xa[i:i + bs])))
-                for i in range(0, xa.shape[0], bs)])
-
-        y = oracle_host(x)
-        print(f"training set: {x.shape[0]} samples "
-              f"({len(jit_amps)} jitter copies) "
+        if pool_parts:
+            ft_pool_x4 = jnp.concatenate(pool_parts)
+            del pool_parts
+        n_samples = x5_dev.shape[0]
+        print(f"training set: {n_samples} device-resident samples "
+              f"(bf16, {n_samples * spec5.input_len * 2 / 1e9:.2f} GB HBM) "
               f"[{time.time() - t_start:.0f}s]")
-        if cache_data:
-            np.savez(cache_data, x=x, y=y)
-            print(f"cached training set -> {cache_data}")
 
-    n_norm = min(x.shape[0], 200_000)
-    stats = compute_norms_from_data(spec5, x[:n_norm], y[:n_norm])
-    stats = dataclasses.replace(stats, lbd_qn=compute_exponential_lambda(
-        x[:n_norm, spec5.input_slices["state_qn"]]))
+    # ---- 3. normalization stats (device reductions) ----------------------
+    if have_stats:
+        blob = np.load(cache_stats)
+        stats = NormStats(inp_sub=blob["sub"], inp_div=blob["div"],
+                          out_scale=blob["osc"], lbd_qn=blob["lbd"])
+        print(f"norm stats: cache hit ({cache_stats})")
+    else:
+        n_norm = int(min(x5_dev.shape[0], 196608))
+        sl_qn = spec5.input_slices["state_qn"]
 
-    # ---- 3. train the candidate v5 U-Net + wrap --------------------------
+        @jax.jit
+        def _norm_stats(xb):
+            xf = xb.astype(f32)
+            y = oracle_v5(xf)
+            sub = xf.mean(0)
+            div = xf.max(0) - xf.min(0)
+            std = y.std(0)
+            q = xf[:, sl_qn]
+            cloudy = q > 1e-7
+            qsum = jnp.where(cloudy, q, 0.0).sum(0)
+            qcnt = cloudy.sum(0)
+            return sub, div, std, qsum, qcnt
+
+        sub, div, std, qsum, qcnt = map(np.asarray,
+                                        _norm_stats(x5_dev[:n_norm]))
+        lbd = np.where(qcnt > 0, qcnt / np.maximum(qsum, 1e-300), 1e7)
+        stats = NormStats(inp_sub=sub.astype(np.float64),
+                          inp_div=div.astype(np.float64),
+                          out_scale=1.0 / np.maximum(std, 1e-8),
+                          lbd_qn=lbd)
+        if cache_stats:
+            np.savez(cache_stats, sub=stats.inp_sub, div=stats.inp_div,
+                     osc=stats.out_scale, lbd=stats.lbd_qn)
+        print(f"norm stats computed on device ({n_norm} samples) "
+              f"[{time.time() - t_start:.0f}s]")
+
+    # ---- 4. train the candidate v5 U-Net (scan-fused, on-device data) ----
+    if need_collection:
+        xb0 = x5_dev[:args.batch].astype(f32)
+    else:  # shapes only; params come from cache
+        xb0 = jnp.asarray(synthetic_inputs(spec5, args.batch, grid, seed=5))
+    yb0 = oracle_v5(xb0)
     tr = recipes.unet_trainer(
-        spec5, stats, (x[:args.batch], y[:args.batch]), jax.random.PRNGKey(0),
+        spec5, stats, (xb0, yb0), jax.random.PRNGKey(0),
         steps_per_epoch=max(args.train_steps, 1),
         model_kw=dict(model_channels=args.channels, channel_mult=(1, 2, 2),
                       num_blocks=2, attn_resolutions=(16,),
                       output_prune=True))
     state = tr.state
-    if cache_params and os.path.exists(cache_params):
-        import pickle
-
+    if have_params:
         with open(cache_params, "rb") as f:
             blob = pickle.load(f)
-        params = jax.tree.map(jnp.asarray, blob["params"])
-        state = state.replace(params=params)
+        state = state.replace(params=jax.tree.map(jnp.asarray,
+                                                  blob["params"]))
         train_loss = blob["loss"]
+        n_train_samples = blob.get("n_samples", 0)
         print(f"trained params: cache hit ({cache_params}, "
               f"loss {train_loss:.5f})")
     else:
-        n_tr = x.shape[0]
-        trng = np.random.default_rng(23)
-        order = trng.permutation(n_tr)
-        pos = 0
-        loss_ema = None
-        for i in range(args.train_steps):
-            if pos + args.batch > n_tr:
-                order = trng.permutation(n_tr)
-                pos = 0
-            idx = order[pos:pos + args.batch]
-            pos += args.batch
-            state, m = tr.train_step(state, x[idx], y[idx])
-            if i % 200 == 0 or i == args.train_steps - 1:
-                l = float(m["loss"])
-                loss_ema = (l if loss_ema is None
-                            else 0.7 * loss_ema + 0.3 * l)
-                print(f"step {i}: loss {l:.5f}")
-        train_loss = loss_ema if loss_ema is not None else float("nan")
-        print(f"trained {args.train_steps} steps, loss(ema) "
-              f"{train_loss:.5f} [{time.time() - t_start:.0f}s]")
-        if cache_params:
-            import pickle
+        n_train_samples = int(x5_dev.shape[0])
+        amps = jnp.asarray([0.0] + jit_amps, f32)
+        col_std = x5_dev[:196608].astype(f32).std(0)
+        col_std = col_std.at[sl_icol5].set(0.0)  # icol: categorical
 
+        chunk_len = max(1, min(args.chunk, args.train_steps))
+
+        def _body(carry, _):
+            st, key, xs = carry
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            idx = jax.random.randint(k1, (args.batch,), 0, n_train_samples)
+            xb = xs[idx].astype(f32)
+            a = amps[jax.random.randint(k2, (args.batch,), 0, len(amps))]
+            xb = xb + jax.random.normal(k3, xb.shape, f32) \
+                * a[:, None] * col_std
+            yb = oracle_v5(xb)
+            st, m = tr.train_step(st, xb, yb)
+            return (st, key, xs), m["loss"]
+
+        # the training set is an ARGUMENT, not a closure capture: captured
+        # device constants are baked into the executable (4 GB here),
+        # bloating compile and the persistent cache
+        @jax.jit
+        def _chunk(st, key, xs):
+            (st, key, xs), losses = jax.lax.scan(_body, (st, key, xs), None,
+                                                 length=chunk_len)
+            return st, key, losses.mean()
+
+        key = jax.random.PRNGKey(23)
+        done, train_loss = 0, float("nan")
+        while done < args.train_steps:
+            state, key, l = _chunk(state, key, x5_dev)
+            done += chunk_len
+            train_loss = float(l)
+            print(f"step {min(done, args.train_steps)}: "
+                  f"loss(chunk mean) {train_loss:.5f} "
+                  f"[{time.time() - t_start:.0f}s]", flush=True)
+        print(f"trained {done} steps [{time.time() - t_start:.0f}s]")
+        if cache_params:
             with open(cache_params, "wb") as f:
                 pickle.dump({"params": jax.tree.map(np.asarray,
                                                     state.params),
-                             "loss": train_loss}, f)
+                             "loss": train_loss,
+                             "n_samples": n_train_samples}, f)
             print(f"cached params -> {cache_params}")
     hybrid_wrap = W.make_wrapper(
         lambda p, xn: tr.model.apply(p, xn), stats,
         W.WrapperConfig(input_version="v4"))
+    hybrid_driver = HybridDriver(hybrid_wrap, grid, dyn_forcing=forcing)
 
-    # ---- 4. rollouts (same IC + shared host dynamics for all runs) -------
-    keys_m = ["t", "precc"]
-    keys_h = ["t", "qn", "precc", "water_res"]
-    members = []
-    for mi in range(args.members):
+    # ---- 4b. optional differentiable K-step rollout fine-tune ------------
+    # Gradients of a trajectory loss flow through host dynamics + wrapper
+    # constraints + K emulator applications (train/rollout_ft.py) -- the
+    # autoregressive-stability stage the reference cannot run (its host
+    # model sits behind a TorchScript/Fortran boundary).
+    ft_loss_first = ft_loss_last = None
+    if args.ft_steps > 0:
+        if have_ft and cache_ft and os.path.exists(cache_ft):
+            with open(cache_ft, "rb") as f:
+                blob = pickle.load(f)
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, blob["params"]))
+            ft_loss_first, ft_loss_last = blob["loss_first"], blob["loss_last"]
+            print(f"fine-tuned params: cache hit ({cache_ft}, "
+                  f"loss {ft_loss_first:.4f} -> {ft_loss_last:.4f})")
+        else:
+            from climsim_tpu.train.rollout_ft import make_finetune_step
+
+            # device-resident IC pool of whole-grid states + per-level
+            # stds of the reference trajectory (device reductions only)
+            n_pool = int(ft_pool_x4.shape[0])
+            flat = initial_state(
+                ft_pool_x4.reshape(-1, spec4.input_len), grid)
+            pool_state = jax.tree.map(
+                lambda a: a.reshape((n_pool, ncol) + a.shape[1:]), flat)
+            del flat
+            _, ptr = oracle_driver.rollout(
+                None, initial_state(ft_pool_x4[0], grid), seg)
+
+            @jax.jit
+            def _traj_stds(tr_):
+                return {k: tr_[k].reshape(-1, 60).std(0) + 1e-12
+                        for k in ("t", "q1", "qn", "u")}
+
+            stds = {k: np.asarray(v) for k, v in _traj_stds(ptr).items()}
+            del ptr
+            # remat: the K-step backward would otherwise store every
+            # step's U-Net activations (OOMs a 16 GB chip at K=16)
+            ft_driver = HybridDriver(hybrid_wrap, grid,
+                                     dyn_forcing=forcing, remat=True)
+            step_fn, opt_init = make_finetune_step(
+                ft_driver, oracle_driver, args.ft_k, stds,
+                learning_rate=args.ft_lr, total_steps=args.ft_steps)
+            gather = jax.jit(lambda st, i: jax.tree.map(
+                lambda a: a[i], st))
+            frng = np.random.default_rng(31)
+            p, opt_state = state.params, opt_init(state.params)
+            for i in range(args.ft_steps):
+                idx = int(frng.integers(0, n_pool))
+                p, opt_state, l = step_fn(p, opt_state,
+                                          gather(pool_state, idx))
+                l = float(l)
+                if ft_loss_first is None:
+                    ft_loss_first = l
+                ft_loss_last = l
+                if i % 20 == 0 or i == args.ft_steps - 1:
+                    print(f"ft step {i}: rollout loss {l:.4f} "
+                          f"[{time.time() - t_start:.0f}s]", flush=True)
+            state = state.replace(params=p)
+            print(f"fine-tuned {args.ft_steps} steps (K={args.ft_k}): "
+                  f"loss {ft_loss_first:.4f} -> {ft_loss_last:.4f}")
+            if cache_ft:
+                with open(cache_ft, "wb") as f:
+                    pickle.dump({"params": jax.tree.map(np.asarray, p),
+                                 "loss_first": ft_loss_first,
+                                 "loss_last": ft_loss_last}, f)
+                print(f"cached fine-tuned params -> {cache_ft}")
+            del pool_state
+
+    # free the training set before the rollout phase
+    x5_dev = None
+    ft_pool_x4 = None
+
+    # ---- 5. ensemble rollout, segment-major, reduced on device -----------
+    # All members advance together through each segment (vmapped
+    # rollout_ensemble); per-segment device reductions produce the
+    # pairwise error curves, window sums, drift series and precipitation;
+    # the per-segment ensemble-mean trajectory stays in HBM for the
+    # hybrid comparison.
+    M = args.members
+    pairs = list(itertools.combinations(range(M), 2))
+    mrng = np.random.default_rng(1234)
+    member_states = []
+    for mi in range(M):
         xm = x0.copy()
         if mi > 0:  # perturbed initial conditions (reference: perturbed seeds)
             xm[:, spec4.input_slices["state_t"]] += \
-                0.05 * rng.standard_normal((ncol, 60)).astype(np.float32)
-        _, traj = segmented_rollout(oracle_driver, None,
-                                    initial_state(xm, grid), args.steps,
-                                    min(args.seg, args.steps), keys_m,
-                                    label=f"member[{mi}]")
-        members.append(traj)
-        print(f"ensemble member {mi}: {args.steps}-step rollout done "
-              f"[{time.time() - t_start:.0f}s]")
+                0.05 * mrng.standard_normal((ncol, 60)).astype(np.float32)
+        member_states.append(initial_state(xm, grid))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *member_states)
 
-    hybrid_driver = HybridDriver(hybrid_wrap, grid, dyn_forcing=forcing)
-    _, htraj = segmented_rollout(hybrid_driver, state.params,
-                                 initial_state(x0, grid), args.steps,
-                                 min(args.seg, args.steps), keys_h,
-                                 label="hybrid")
-    print(f"hybrid rollout done [{time.time() - t_start:.0f}s]")
+    @jax.jit
+    def _member_stats(ts, precc):
+        # ts: (M, n, B, L); precc: (M, n, B)
+        ens = ts.mean(0)
+        e2 = (jnp.stack([((ts[i] - ts[j]) ** 2 * w_dev).sum((1, 2)) / w_sum
+                         for i, j in pairs]) if pairs
+              else jnp.zeros((0, ts.shape[1])))      # (P, n)
+        wmean = (ts * w_dev).sum((2, 3)) / w_sum     # (M, n)
+        seg_sum = ts.sum(1)                          # (M, B, L)
+        return ens, e2, wmean, seg_sum, precc[0]
 
-    # ---- 5. diagnostics ---------------------------------------------------
-    member_ts = [m["t"] for m in members]
-    ens_t = np.mean(member_ts, axis=0)
-    floor_inst = D.ensemble_noise_floor(member_ts, grid)
-    n_win = max(args.steps // args.window, 1)
-    window = args.steps // n_win if args.steps % args.window else args.window
+    ens_segs = []          # device (n, B, L) per segment
+    m_e2, m_wmean, m_seg_sums, m_precc0 = [], [], [], []
+    for k in range(n_segs):
+        stacked, traj = oracle_driver.rollout_ensemble(None, stacked, seg)
+        ens, e2, wmean, seg_sum, precc0 = _member_stats(traj["t"],
+                                                        traj["precc"])
+        del traj
+        ens_segs.append(ens)
+        m_e2.append(np.asarray(e2))
+        m_wmean.append(np.asarray(wmean))
+        m_seg_sums.append(np.asarray(seg_sum))
+        m_precc0.append(np.asarray(precc0))
+        print(f"  members: {(k + 1) * seg}/{steps} steps "
+              f"[{time.time() - t_start:.0f}s]", flush=True)
+    m_e2 = np.concatenate(m_e2, axis=1)          # (P, steps)
+    m_wmean = np.concatenate(m_wmean, axis=1)    # (M, steps)
+    m_seg_sums = np.stack(m_seg_sums)            # (n_segs, M, B, L)
+    precc_r = np.concatenate(m_precc0)           # (steps, B)
 
-    # primary: monthly-MEAN RMSE vs per-window pairwise member floor
-    mm_rmse = D.window_mean_rmse(htraj["t"], ens_t, grid, window)
-    mm_floor = D.ensemble_window_floor(member_ts, grid, window)
+    # ---- 6. hybrid rollout vs the stored ensemble mean -------------------
+    @jax.jit
+    def _hybrid_stats(ht, qn, t, wres, ens_seg):
+        e2 = ((ht - ens_seg) ** 2 * w_dev).sum((1, 2)) / w_sum
+        wmean = (ht * w_dev).sum((1, 2)) / w_sum
+        seg_sum = ht.sum(0)
+        diff_sum = (ht - ens_seg).sum(0)
+        cloudy = qn > 1e-7
+        return (e2, wmean, seg_sum, diff_sum,
+                (qn < 0).mean(), cloudy.mean(), qn.max(),
+                (cloudy & (t < 233.16)).mean(),
+                jnp.abs(wres).mean(), jnp.abs(wres).max())
+
+    hs = initial_state(x0, grid)
+    h_e2, h_wmean, h_seg_sums, h_diff_sums, h_precc = [], [], [], [], []
+    h_scalars = []
+    for k in range(n_segs):
+        hs, traj = hybrid_driver.rollout(state.params, hs, seg)
+        out = _hybrid_stats(traj["t"], traj["qn"], traj["t"],
+                            traj["water_res"], ens_segs[k])
+        h_precc.append(np.asarray(traj["precc"]))
+        del traj
+        (e2, wmean, seg_sum, diff_sum, qneg, cloudy, qnmax, cold,
+         wres_mean, wres_max) = out
+        h_e2.append(np.asarray(e2))
+        h_wmean.append(np.asarray(wmean))
+        h_seg_sums.append(np.asarray(seg_sum))
+        h_diff_sums.append(np.asarray(diff_sum))
+        h_scalars.append([float(qneg), float(cloudy), float(qnmax),
+                          float(cold), float(wres_mean), float(wres_max)])
+        print(f"  hybrid: {(k + 1) * seg}/{steps} steps "
+              f"[{time.time() - t_start:.0f}s]", flush=True)
+    h_e2 = np.concatenate(h_e2)                  # (steps,)
+    h_wmean = np.concatenate(h_wmean)
+    h_seg_sums = np.stack(h_seg_sums)            # (n_segs, B, L)
+    h_diff_sums = np.stack(h_diff_sums)
+    precc_h = np.concatenate(h_precc)
+    h_scalars = np.array(h_scalars)
+    del ens_segs
+    print(f"rollouts done [{time.time() - t_start:.0f}s]")
+
+    # ---- 7. diagnostics (host assembly of device reductions, f64) --------
+    # instantaneous noise floor: mean over pairs of sqrt(mean_t e2)
+    floor_inst = float(np.mean([np.sqrt(m_e2[p].mean()) for p in
+                                range(len(pairs))])) if pairs else 0.0
+    growth = np.sqrt(h_e2)
+
+    # monthly-MEAN fields from segment sums (f64 accumulation)
+    def win_means(seg_sums):  # (n_segs, ..., B, L) -> (n_win, ..., B, L)
+        s = seg_sums.astype(np.float64).reshape(
+            (n_win, segs_per_win) + seg_sums.shape[1:])
+        return s.sum(axis=1) / window
+
+    h_win = win_means(h_seg_sums)                # (n_win, B, L)
+    m_win = win_means(m_seg_sums)                # (n_win, M, B, L)
+    ens_win = m_win.mean(axis=1)                 # (n_win, B, L)
+    mm_rmse = np.array([D.weighted_rmse(h_win[i][None], ens_win[i][None],
+                                        grid) for i in range(n_win)])
+    mm_floor = np.array([
+        np.mean([D.weighted_rmse(m_win[i, a][None], m_win[i, b][None],
+                                 grid) for a, b in pairs])
+        for i in range(n_win)]) if pairs else np.zeros(n_win)
     ratios = mm_rmse / np.maximum(mm_floor, 1e-12)
-
-    growth = D.error_growth(htraj["t"], ens_t, grid)
-    win_inst = [D.weighted_rmse(
-        htraj["t"][i * window:(i + 1) * window],
-        ens_t[i * window:(i + 1) * window], grid) for i in range(n_win)]
+    win_inst = [float(np.sqrt(h_e2[i * window:(i + 1) * window].mean()))
+                for i in range(n_win)]
 
     # saturation: last quarter of the growth curve flat vs third quarter
-    q = max(args.steps // 4, 1)
+    q = max(steps // 4, 1)
     g_late, g_mid = growth[-q:].mean(), growth[-2 * q:-q].mean()
     saturating = bool(g_late <= 1.2 * max(g_mid, 1e-12))
     within_floor = bool(np.all(ratios <= 1.5))
     verdict = "PASS" if (saturating and within_floor) else "FAIL"
 
-    lats, zbias = D.zonal_mean_bias(htraj["t"], ens_t, grid)
-    p_h = D.precip_stats(htraj["precc"], grid)
-    p_r = D.precip_stats(members[0]["precc"], grid)
-    drift_h = D.drift(htraj["t"], grid)
-    micro = D.microphysics_checks(htraj["qn"], htraj["t"], htraj["precc"])
+    # zonal-mean T bias from the accumulated difference sums
+    mean_diff = h_diff_sums.astype(np.float64).sum(0) / steps   # (B, L)
+    lats, zbias = D.zonal_mean_bias(mean_diff[None], 0.0 * mean_diff[None],
+                                    grid)
+    p_h = D.precip_stats(precc_h, grid)
+    p_r = D.precip_stats(precc_r, grid)
 
-    days = args.steps / STEPS_PER_DAY
+    def drift_from_wmean(wm):  # exact D.drift from the per-step series
+        qq = max(len(wm) // 4, 1)
+        return float(wm[-qq:].mean(dtype=np.float64)
+                     - wm[:qq].mean(dtype=np.float64))
+
+    drift_h = drift_from_wmean(h_wmean)
+    drift_r = drift_from_wmean(m_wmean[0])
+    micro = {
+        "frac_negative_qn": float(h_scalars[:, 0].mean()),
+        "frac_cloudy": float(h_scalars[:, 1].mean()),
+        "qn_max": float(h_scalars[:, 2].max()),
+        "frac_cold_cloud": float(h_scalars[:, 3].mean()),
+        "water_res_meanabs": float(h_scalars[:, 4].mean()),
+        "water_res_maxabs": float(h_scalars[:, 5].max()),
+    }
+
+    days = steps / STEPS_PER_DAY
     win_days = window / STEPS_PER_DAY
 
-    # ---- 6. figures --------------------------------------------------------
+    # ---- 8. figures --------------------------------------------------------
     import matplotlib
 
     matplotlib.use("Agg")
@@ -436,14 +668,17 @@ def main(argv=None):
         for s in ("top", "right"):
             ax.spines[s].set_visible(False)
 
-    t_axis = np.arange(args.steps) / STEPS_PER_DAY
+    t_axis = np.arange(steps) / STEPS_PER_DAY
     fig, ax = plt.subplots(figsize=(7, 4))
     ax.plot(t_axis, growth, color=C_HYBRID, lw=1.5,
             label="hybrid vs ensemble mean")
-    for mi in range(1, args.members):
-        pg = D.error_growth(members[mi]["t"], members[0]["t"], grid)
-        ax.plot(t_axis, pg, color=C_ENSEMBLE, lw=1, alpha=0.7,
-                label="ensemble spread" if mi == 1 else None)
+    first = True
+    for pi, (a, b) in enumerate(pairs):
+        if a != 0:
+            continue
+        ax.plot(t_axis, np.sqrt(m_e2[pi]), color=C_ENSEMBLE, lw=1,
+                alpha=0.7, label="ensemble spread" if first else None)
+        first = False
     ax.axhline(floor_inst, color=C_FLOOR, lw=2, ls="--",
                label="instantaneous noise floor")
     ax.set_xlabel("simulated days")
@@ -488,9 +723,9 @@ def main(argv=None):
 
     fig, ax = plt.subplots(figsize=(6, 4))
     bins = np.linspace(0.0, max(p_h["p99"], p_r["p99"]) * 1.2 + 1e-9, 40)
-    ax.hist(np.ravel(members[0]["precc"]), bins=bins, color=C_ENSEMBLE,
+    ax.hist(np.ravel(precc_r), bins=bins, color=C_ENSEMBLE,
             alpha=0.75, label="reference", zorder=3)
-    ax.hist(np.ravel(htraj["precc"]), bins=bins, color=C_HYBRID, alpha=0.75,
+    ax.hist(np.ravel(precc_h), bins=bins, color=C_HYBRID, alpha=0.75,
             label="hybrid", zorder=3)
     ax.set_yscale("log")
     ax.set_xlabel("PRECC")
@@ -502,7 +737,7 @@ def main(argv=None):
     fig.savefig(os.path.join(figdir, "online_precip.png"), dpi=120)
     plt.close(fig)
 
-    # ---- 7. report ----------------------------------------------------------
+    # ---- 9. report ----------------------------------------------------------
     lines = [
         "# Online evaluation: month-scale hybrid rollout vs ensemble",
         "",
@@ -510,7 +745,7 @@ def main(argv=None):
         "(online_testing/evaluation/*.ipynb) run end to end on this "
         "framework: a trained + wrapped v5 U-Net is coupled through the "
         "rollout driver and judged against a "
-        f"{args.members}-member perturbed-IC ensemble of the oracle "
+        f"{M}-member perturbed-IC ensemble of the oracle "
         "emulator (the MMF stand-in; real E3SM output replaces it "
         "unchanged).  All runs share the same prescribed host dynamics "
         f"(Newtonian relaxation, tau = {args.tau_days:g} days, + "
@@ -518,13 +753,20 @@ def main(argv=None):
         "is shared between MMF and hybrid runs.  Produced by "
         "`python scripts/online_eval.py`.",
         "",
-        f"- rollout: {args.steps} steps x {ncol} columns at 1200 s = "
+        f"- rollout: {steps} steps x {ncol} columns at 1200 s = "
         f"**{days:.0f} simulated days**; windows of {window} steps "
         f"= {win_days:.0f} days each",
         f"- U-Net: {args.channels} channels, trained {args.train_steps} "
-        f"steps on {x.shape[0]} on-manifold samples "
-        f"(oracle-rollout states + {len(jit_amps)} jittered copies; "
-        f"final loss {train_loss:.4f})",
+        f"steps on {n_train_samples} device-resident on-manifold samples "
+        f"(oracle-rollout states, stride {stride}; per-row jitter from "
+        f"{{clean, {args.jitter}}} x feature std with labels re-queried "
+        f"from the oracle on device; final loss {train_loss:.4f})",
+    ] + ([
+        f"- rollout fine-tune: {args.ft_steps} updates on a differentiable "
+        f"K={args.ft_k}-step trajectory loss through the full hybrid loop "
+        f"(train/rollout_ft.py); loss {ft_loss_first:.4f} -> "
+        f"{ft_loss_last:.4f}"
+    ] if args.ft_steps > 0 else []) + [
         "",
         f"## Verdict: {verdict}",
         "",
@@ -551,13 +793,14 @@ def main(argv=None):
             f"| month {i + 1} ({win_days:.0f} d) instantaneous T RMSE (K) | "
             f"{win_inst[i]:.4f} | {floor_inst:.4f} (floor) |")
     lines += [
-        f"| T drift (K) | {drift_h:.4f} | "
-        f"{D.drift(members[0]['t'], grid):.4f} |",
+        f"| T drift (K) | {drift_h:.4f} | {drift_r:.4f} |",
         f"| precip mean | {p_h['mean']:.3e} | {p_r['mean']:.3e} |",
         f"| precip p99 | {p_h['p99']:.3e} | {p_r['p99']:.3e} |",
         f"| negative-precip fraction | {p_h['frac_negative']:.4f} | "
         f"{p_r['frac_negative']:.4f} |",
         f"| negative-qn fraction | {micro['frac_negative_qn']:.4f} | -- |",
+        f"| column water residual, mean abs | "
+        f"{micro['water_res_meanabs']:.3e} | -- |",
         "",
         "![error growth](figures/online_error_growth.png)",
         "![zonal bias](figures/online_zonal_bias.png)",
@@ -574,6 +817,11 @@ def main(argv=None):
         "coupling-grade model keeps it within a small factor of the "
         "same-statistic member floor, with instantaneous error growth "
         "saturating rather than diverging.",
+        "",
+        "All trajectory statistics are reduced on device (only per-step "
+        "scalar curves, per-window (ncol, 60) sums and the precipitation "
+        "series reach the host) -- the evaluation runs at full month "
+        "scale even over a slow host link.",
     ]
     report = os.path.join(args.out, "ONLINE_EVAL.md")
     with open(report, "w") as f:
