@@ -185,6 +185,15 @@ def main(argv=None):
     ap.add_argument("--ft-lr", type=float, default=1e-4)
     ap.add_argument("--chunk", type=int, default=200,
                     help="train steps fused per dispatch (lax.scan)")
+    ap.add_argument("--dagger-rounds", type=int, default=0,
+                    help="DAgger rounds: after supervised training, roll "
+                         "the CURRENT hybrid model, collect the states it "
+                         "actually visits, oracle-label them on device, "
+                         "and continue training on the mixture")
+    ap.add_argument("--dagger-steps", type=int, default=1500,
+                    help="continued train steps per DAgger round")
+    ap.add_argument("--dagger-collect", type=int, default=1080,
+                    help="hybrid rollout steps collected per DAgger round")
     ap.add_argument("--out", default="docs")
     ap.add_argument("--cache", default=None,
                     help="directory for phase artifacts (norm stats, "
@@ -266,9 +275,14 @@ def main(argv=None):
         tag = (f"c{collect_steps}x{args.collect_rollouts}s{stride}"
                f"_j{args.jitter.replace(',', '-')}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
+        # r2 = training-recipe version (cosine over run length, weighted
+        # amp sampling); bump when the recipe changes so stale params
+        # under the same tag are never reused
+        dag = (f"_d{args.dagger_rounds}x{args.dagger_steps}"
+               f"c{args.dagger_collect}" if args.dagger_rounds else "")
         cache_params = os.path.join(
             args.cache, f"params_{tag}_ch{args.channels}"
-                        f"_t{args.train_steps}_b{args.batch}.pkl")
+                        f"_t{args.train_steps}_b{args.batch}{dag}_r3.pkl")
         if args.ft_steps > 0:
             cache_ft = os.path.join(
                 args.cache, f"ftparams_{tag}_ch{args.channels}"
@@ -369,10 +383,20 @@ def main(argv=None):
     tr = recipes.unet_trainer(
         spec5, stats, (xb0, yb0), jax.random.PRNGKey(0),
         steps_per_epoch=max(args.train_steps, 1),
+        # NOTE: near-constant LR on purpose (default cosine horizon >>
+        # run length): A/B'd against decaying over the run -- the decayed
+        # model scores better supervised loss but measurably WORSE
+        # coupled monthly RMSE (high-LR flat-minima regularization helps
+        # the out-of-tube restoring behavior the rollout depends on)
         model_kw=dict(model_channels=args.channels, channel_mult=(1, 2, 2),
                       num_blocks=2, attn_resolutions=(16,),
                       output_prune=True))
     state = tr.state
+    # wrapper + driver up front: DAgger rounds roll the in-training model
+    hybrid_wrap = W.make_wrapper(
+        lambda p, xn: tr.model.apply(p, xn), stats,
+        W.WrapperConfig(input_version="v4"))
+    hybrid_driver = HybridDriver(hybrid_wrap, grid, dyn_forcing=forcing)
     if have_params:
         with open(cache_params, "rb") as f:
             blob = pickle.load(f)
@@ -383,10 +407,26 @@ def main(argv=None):
         print(f"trained params: cache hit ({cache_params}, "
               f"loss {train_loss:.5f})")
     else:
-        n_train_samples = int(x5_dev.shape[0])
+        n_clean = int(x5_dev.shape[0])
+        # DAgger buffer is preallocated (filled with clean duplicates) so
+        # the fused train chunk compiles ONCE for the final shape
+        segs_dag = max(-(-args.dagger_collect // seg), 1)
+        rows_seg = -(-seg // stride) * ncol
+        dag_rows = segs_dag * rows_seg
+        cap = args.dagger_rounds * dag_rows
+        xs_train = (jnp.concatenate([x5_dev, x5_dev[:cap]])
+                    if 0 < cap <= n_clean else x5_dev)
+        if cap > n_clean:
+            raise SystemExit("dagger buffer larger than clean set; lower "
+                             "--dagger-rounds/--dagger-collect")
+        n_train_samples = int(xs_train.shape[0])
         amps = jnp.asarray([0.0] + jit_amps, f32)
         col_std = x5_dev[:196608].astype(f32).std(0)
         col_std = col_std.at[sl_icol5].set(0.0)  # icol: categorical
+        if cap > 0:
+            x5_dev = None  # drop the clean-set alias: xs_train owns the
+            # data now, and a live extra 3.5 GB reference OOMs the chip
+            # once the DAgger buffer and training activations are resident
 
         chunk_len = max(1, min(args.chunk, args.train_steps))
 
@@ -395,6 +435,9 @@ def main(argv=None):
             key, k1, k2, k3 = jax.random.split(key, 4)
             idx = jax.random.randint(k1, (args.batch,), 0, n_train_samples)
             xb = xs[idx].astype(f32)
+            # uniform over {clean} + amps: A/B'd against favoring the
+            # clean manifold (p=0.5) -- coverage share decides the
+            # coupled equilibrium distance, uniform wins clearly
             a = amps[jax.random.randint(k2, (args.batch,), 0, len(amps))]
             xb = xb + jax.random.normal(k3, xb.shape, f32) \
                 * a[:, None] * col_std
@@ -414,13 +457,51 @@ def main(argv=None):
         key = jax.random.PRNGKey(23)
         done, train_loss = 0, float("nan")
         while done < args.train_steps:
-            state, key, l = _chunk(state, key, x5_dev)
+            state, key, l = _chunk(state, key, xs_train)
             done += chunk_len
             train_loss = float(l)
             print(f"step {min(done, args.train_steps)}: "
                   f"loss(chunk mean) {train_loss:.5f} "
                   f"[{time.time() - t_start:.0f}s]", flush=True)
         print(f"trained {done} steps [{time.time() - t_start:.0f}s]")
+
+        # ---- DAgger rounds: train where the hybrid actually goes ------
+        # Roll the CURRENT model through the coupled loop, collect the
+        # states it visits (exactly the distribution that matters for
+        # coupling), oracle-label them on device, continue training on
+        # the clean+visited mixture.  The imitation-learning fix for
+        # covariate shift -- possible here because collection, labelling
+        # and training are all device-resident.
+        if args.dagger_rounds > 0:
+            # donate the buffer: the update writes in place instead of
+            # materializing a second multi-GB copy
+            upd = jax.jit(lambda buf, new, o: jax.lax.dynamic_update_slice(
+                buf, new, (o, 0)), donate_argnums=(0,))
+            drng = np.random.default_rng(47)
+            off = n_clean
+            for rd in range(args.dagger_rounds):
+                xr = x0.copy()
+                xr[:, spec4.input_slices["state_t"]] += \
+                    0.1 * drng.standard_normal((ncol, 60)).astype(np.float32)
+                s = initial_state(xr, grid)
+                newparts = []
+                for _k in range(segs_dag):
+                    s, trj = hybrid_driver.rollout(state.params, s, seg,
+                                                   True)
+                    newparts.append(to_v5_bf16(trj["x4"][::stride]))
+                    del trj
+                xs_train = upd(xs_train, jnp.concatenate(newparts),
+                               jnp.int32(off))
+                off += dag_rows
+                ddone = 0
+                while ddone < args.dagger_steps:
+                    state, key, l = _chunk(state, key, xs_train)
+                    ddone += chunk_len
+                train_loss = float(l)
+                print(f"dagger round {rd}: +{dag_rows} hybrid-visited "
+                      f"samples, loss {train_loss:.5f} "
+                      f"[{time.time() - t_start:.0f}s]", flush=True)
+        xs_train = None
         if cache_params:
             with open(cache_params, "wb") as f:
                 pickle.dump({"params": jax.tree.map(np.asarray,
@@ -428,11 +509,6 @@ def main(argv=None):
                              "loss": train_loss,
                              "n_samples": n_train_samples}, f)
             print(f"cached params -> {cache_params}")
-    hybrid_wrap = W.make_wrapper(
-        lambda p, xn: tr.model.apply(p, xn), stats,
-        W.WrapperConfig(input_version="v4"))
-    hybrid_driver = HybridDriver(hybrid_wrap, grid, dyn_forcing=forcing)
-
     # ---- 4b. optional differentiable K-step rollout fine-tune ------------
     # Gradients of a trajectory loss flow through host dynamics + wrapper
     # constraints + K emulator applications (train/rollout_ft.py) -- the
@@ -762,6 +838,11 @@ def main(argv=None):
         f"{{clean, {args.jitter}}} x feature std with labels re-queried "
         f"from the oracle on device; final loss {train_loss:.4f})",
     ] + ([
+        f"- DAgger: {args.dagger_rounds} rounds x {args.dagger_collect} "
+        f"hybrid-rollout steps collected + {args.dagger_steps} continued "
+        f"train steps each (the model trains on the states its own "
+        f"coupled run visits)"
+    ] if args.dagger_rounds > 0 else []) + ([
         f"- rollout fine-tune: {args.ft_steps} updates on a differentiable "
         f"K={args.ft_k}-step trajectory loss through the full hybrid loop "
         f"(train/rollout_ft.py); loss {ft_loss_first:.4f} -> "
