@@ -58,7 +58,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(f"localhost:{port}", num_processes=2,
-                           process_id=pid)
+                           process_id=pid,
+                           # one rank can straggle for minutes when
+                           # the host is loaded (concurrent TPU
+                           # compile); default 300 s flakes
+                           shutdown_timeout_seconds=1200)
 import numpy as np
 sys.path.insert(0, {repo!r})
 from climsim_tpu.parallel.mesh import ShardingRules, make_mesh
@@ -166,7 +170,11 @@ jax.config.update("jax_compilation_cache_dir",
                                  "/tmp/climsim_jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.distributed.initialize(f"localhost:{port}", num_processes=2,
-                           process_id=pid)
+                           process_id=pid,
+                           # one rank can straggle for minutes when
+                           # the host is loaded (concurrent TPU
+                           # compile); default 300 s flakes
+                           shutdown_timeout_seconds=1200)
 import dataclasses
 import numpy as np
 sys.path.insert(0, {repo!r})
