@@ -563,7 +563,7 @@ def main(argv=None):
             # donate the buffer: the update writes in place instead of
             # materializing a second multi-GB copy
             upd = jax.jit(lambda buf, new, o: jax.lax.dynamic_update_slice(
-                buf, new, (o, 0)), donate_argnums=(0,))
+                buf, new, (o, jnp.zeros((), o.dtype))), donate_argnums=(0,))
             drng = np.random.default_rng(47)
             off = n_clean
             s = None  # with --dagger-carry the hybrid rollout state

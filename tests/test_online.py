@@ -205,6 +205,13 @@ def test_online_eval_flow(tmp_path):
     spec.loader.exec_module(mod)
     out = mod.main(["--steps", "4", "--window", "2", "--train-steps", "4",
                     "--batch", "64", "--channels", "8",
+                    # exercise every optional training phase of the real
+                    # recipe: DAgger, jitter-free polish (fresh low-LR
+                    # Adam), and the tendency-correction path
+                    "--dagger-rounds", "1", "--dagger-steps", "2",
+                    "--dagger-collect", "2", "--polish-steps", "2",
+                    "--polish-lr", "1e-4", "--bias-correct", "2",
+                    "--bias-iters", "1",
                     "--out", str(tmp_path)])
     assert np.isfinite(out["floor"]) and out["floor"] > 0
     assert len(out["win_rmse"]) == 2
