@@ -63,6 +63,13 @@ jax.distributed.initialize(f"localhost:{port}", num_processes=2,
                            # the host is loaded (concurrent TPU
                            # compile); default 300 s flakes
                            shutdown_timeout_seconds=1200)
+# Establish the Gloo communicator NOW, while both ranks are in lockstep
+# from the init rendezvous: its key-value exchange has a hard 30 s
+# timeout, and on a loaded 1-core host the ranks can reach their first
+# *training* collective more than 30 s apart (the model compile is
+# timeshared), which kills the whole cluster.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("gloo-context-warmup")
 import numpy as np
 sys.path.insert(0, {repo!r})
 from climsim_tpu.parallel.mesh import ShardingRules, make_mesh
@@ -175,6 +182,11 @@ jax.distributed.initialize(f"localhost:{port}", num_processes=2,
                            # the host is loaded (concurrent TPU
                            # compile); default 300 s flakes
                            shutdown_timeout_seconds=1200)
+# see _WORKER: create the Gloo communicator while the ranks are still
+# in lockstep; the U-Net compile skew under load exceeds its 30 s
+# key-value timeout otherwise
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("gloo-context-warmup")
 import dataclasses
 import numpy as np
 sys.path.insert(0, {repo!r})
