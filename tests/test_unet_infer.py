@@ -1,0 +1,77 @@
+"""The fused inference engine equals the flax forward from the same tree.
+
+ops/unet_infer.py replays models/unet.py's forward with Pallas fused
+half-blocks; off-TPU the kernel runs in interpret mode, so the equality
+holds on the CPU test mesh too (same math, bf16-accumulation tolerance).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climsim_tpu.data.synthetic import synthetic_inputs
+from climsim_tpu.grid import load_default_grid
+from climsim_tpu.models.unet import ClimSimUNet
+from climsim_tpu.ops.unet_infer import unet_apply_fused
+from climsim_tpu.varspec import get_varspec
+
+_TINY = dict(model_channels=32, channel_mult=(1, 2), num_blocks=1,
+             attn_resolutions=(32,), dropout=0.0)
+
+
+def _init(spec, model_kw, b=8, seed=0):
+    model = ClimSimUNet(spec=spec, **model_kw)
+    x = jnp.asarray(synthetic_inputs(spec, b, load_default_grid(),
+                                     seed=seed))
+    params = model.init(jax.random.PRNGKey(0), x[:2])["params"]
+    return model, params, x
+
+
+@pytest.mark.parametrize("model_kw", [
+    _TINY,
+    dict(_TINY, attn_resolutions=(), output_prune=True, strato_lev_out=15),
+    dict(_TINY, skip_conv=True),
+], ids=["attn", "prune", "skipconv"])
+def test_fused_engine_matches_flax(model_kw):
+    spec = get_varspec("v5")
+    model, params, x = _init(spec, model_kw)
+    ref = model.apply({"params": params}, x, deterministic=True)
+    got = unet_apply_fused(model, params, x)
+    assert got.shape == ref.shape
+    scale = np.abs(np.asarray(ref)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+    # and the all-XLA engine path (fused=False) agrees too
+    got_xla = unet_apply_fused(model, params, x, fused=False)
+    np.testing.assert_allclose(np.asarray(got_xla) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+
+
+def test_fused_engine_classifier_head():
+    spec = get_varspec("v5")
+    model, params, x = _init(spec, dict(_TINY, classifier=True))
+    ref = model.apply({"params": params}, x, deterministic=True)
+    got = unet_apply_fused(model, params, x)
+    assert got.shape == ref.shape == (x.shape[0], 60, model.num_classes)
+    scale = np.abs(np.asarray(ref)).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
+
+
+def test_fused_engine_accepts_wrapped_tree():
+    spec = get_varspec("v5")
+    model, params, x = _init(spec, _TINY, b=4)
+    a = unet_apply_fused(model, params, x)
+    b = unet_apply_fused(model, {"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_engine_rejects_bf16_norms():
+    spec = get_varspec("v5")
+    model, params, x = _init(
+        spec, dict(_TINY, norm_dtype=jnp.bfloat16), b=4)
+    with pytest.raises(AssertionError):
+        unet_apply_fused(model, params, x)
