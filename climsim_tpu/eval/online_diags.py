@@ -66,6 +66,26 @@ def window_mean_rmse(traj: np.ndarray, ref: np.ndarray, grid: Grid,
     return np.array(out)
 
 
+def window_means_from_segment_sums(seg_sums: np.ndarray,
+                                   segs_per_win: int,
+                                   window: int) -> np.ndarray:
+    """(n_segs, ..., B, L) per-segment TIME SUMS -> (n_win, ..., B, L)
+    window-mean fields, f64 accumulation.
+
+    The device-resident evaluation (scripts/online_eval.py) reduces each
+    rollout segment to a time-sum on device so full trajectories never
+    cross the host link; window means assembled from those sums are
+    exactly the trajectory window means ``window_mean_rmse`` consumes
+    (tests/test_online.py::test_window_means_from_segment_sums), keeping
+    the production metric and the tested reference formulation one code
+    path apart by construction.
+    """
+    n_win = seg_sums.shape[0] // segs_per_win
+    s = seg_sums.astype(np.float64).reshape(
+        (n_win, segs_per_win) + seg_sums.shape[1:])
+    return s.sum(axis=1) / window
+
+
 def ensemble_window_floor(member_trajs, grid: Grid, window: int,
                           ps=1.0e5) -> np.ndarray:
     """Noise floor for the window-mean RMSE: mean pairwise window-mean

@@ -223,8 +223,14 @@ class HybridDriver:
 
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def rollout(self, params, state0: ColumnState, n_steps: int,
-                collect_features: bool = False):
+                collect_features: bool = False, start_step=0):
         """lax.scan rollout; returns (final_state, trajectory dict).
+
+        ``start_step`` offsets the step index seen by the host-dynamics
+        forcing (traced, so advancing it costs no recompile).  Segmented
+        long rollouts MUST pass the running offset: the diurnal cycle is
+        a function of absolute step, and restarting each segment at 0
+        would jump the solar phase at every segment boundary.
 
         The trajectory includes the per-step column water-budget residual
         (the water_conservation.ipynb check): a coupling-grade emulator
@@ -262,11 +268,13 @@ class HybridDriver:
 
         if self.remat:
             body = jax.checkpoint(body)
-        final, traj = jax.lax.scan(body, state0, jnp.arange(n_steps))
+        final, traj = jax.lax.scan(
+            body, state0, jnp.arange(n_steps) + start_step)
         return final, traj
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def rollout_ensemble(self, params, states0, n_steps: int):
+    def rollout_ensemble(self, params, states0, n_steps: int,
+                         start_step=0):
         """All ensemble members in ONE compiled program.
 
         ``states0``: a ColumnState whose leaves carry a leading member
@@ -284,7 +292,8 @@ class HybridDriver:
         trajectory to host (scripts/online_eval.py picks automatically).
         """
         return jax.vmap(
-            lambda s0: self.rollout(params, s0, n_steps))(states0)
+            lambda s0: self.rollout(params, s0, n_steps,
+                                    start_step=start_step))(states0)
 
 
 jax.tree_util.register_dataclass(

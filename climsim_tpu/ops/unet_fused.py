@@ -61,17 +61,22 @@ def _kernel(x_ref, gamma_ref, beta_ref, w_ref, b_ref, mask_ref, o_ref,
 
     x2d = x.reshape(bt * l, c)
     mask = mask_ref[:]                # (C, G) one-hot group membership
-    # per-(sample, group) sums via MXU contractions: (Bt*L, C) @ (C, G),
-    # then fold the level axis
+    # per-(sample, group) stats via MXU contractions: (Bt*L, C) @ (C, G),
+    # then fold the level axis.  Two-pass (center, THEN square): the
+    # E[x^2]-mean^2 form cancels catastrophically when |mean| >> std;
+    # x lives in VMEM, so the second pass costs one more matmul, not a
+    # second HBM read
     s1 = (x2d @ mask).reshape(bt, l, g).sum(axis=1)          # (Bt, G)
-    s2 = ((x2d * x2d) @ mask).reshape(bt, l, g).sum(axis=1)  # (Bt, G)
     mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    mean_c = mean @ mask.T            # (Bt, C)
+    xc = x - mean_c[:, None, :]
+    xc2d = xc.reshape(bt * l, c)
+    s2 = ((xc2d * xc2d) @ mask).reshape(bt, l, g).sum(axis=1)  # (Bt, G)
+    var = jnp.maximum(s2 / n, 0.0)
     inv = jax.lax.rsqrt(var + eps)                            # (Bt, G)
     # broadcast group stats back to channels: (Bt, G) @ (G, C)
-    mean_c = mean @ mask.T            # (Bt, C)
     inv_c = inv @ mask.T
-    xn = (x - mean_c[:, None, :]) * inv_c[:, None, :]
+    xn = xc * inv_c[:, None, :]
     xn = xn * gamma_ref[:][None, None, :] + beta_ref[:][None, None, :]
     xn = xn * jax.nn.sigmoid(xn)      # silu
     xn = xn.astype(compute_dtype)

@@ -330,10 +330,17 @@ def main(argv=None):
     cache_stats = cache_params = cache_ft = None
     if args.cache:
         os.makedirs(args.cache, exist_ok=True)
-        # o2 = oracle/system revision: oracle consumes the production
-        # feature view; production-consistent qn/rh normalization
-        tag = (f"o2c{collect_steps}x{args.collect_rollouts}s{stride}"
-               f"_j{args.jitter.replace(',', '-')}")
+        # o3 = oracle/system revision: o2 fixed the oracle feature view
+        # + qn/rh normalization; o3 fixed the segmented-rollout diurnal
+        # phase (start_step threading) -- collection rollouts under o2
+        # saw a phase jump every --seg steps, so o2 artifacts are stale.
+        # The host-dynamics knobs (tau, diurnal) are part of the key:
+        # stats/params trained under one attractor must never be
+        # silently reused under different dynamics.
+        host = (f"_h{args.tau_days:g}-{args.diurnal:g}"
+                if (args.tau_days, args.diurnal) != (2.0, 1.5) else "")
+        tag = (f"o3c{collect_steps}x{args.collect_rollouts}s{stride}"
+               f"_j{args.jitter.replace(',', '-')}{host}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
         # r2 = training-recipe version (cosine over run length, weighted
         # amp sampling); bump when the recipe changes so stale params
@@ -372,20 +379,26 @@ def main(argv=None):
 
     x5_dev = None
     ft_pool_x4 = None
+    # stats+params cached but the ft stage not: only the (much smaller)
+    # fine-tune IC pool is needed -- collect just rollout 0 and skip the
+    # multi-GB bf16 training set entirely
+    full_collect = not (have_stats and have_params)
     if need_collection:
         to_v5_bf16 = jax.jit(lambda x4: convert_v4_to_v5(
             x4.reshape(-1, spec4.input_len)).astype(jnp.bfloat16))
         parts, pool_parts = [], []
         ft_pool_stride = max(stride, 8)
-        for r in range(args.collect_rollouts):
+        for r in range(args.collect_rollouts if full_collect else 1):
             xr = x0.copy()
             # spread collection ICs wider than the 0.05 K evaluation
             # perturbation: the training set should cover the basin
             xr[:, spec4.input_slices["state_t"]] += collect_perturbs[r]
             s = initial_state(xr, grid)
             for k in range(collect_steps // seg):
-                s, tr = oracle_driver.rollout(None, s, seg, True)
-                parts.append(to_v5_bf16(tr["x4"][::stride]))
+                s, tr = oracle_driver.rollout(None, s, seg, True,
+                                              start_step=k * seg)
+                if full_collect:
+                    parts.append(to_v5_bf16(tr["x4"][::stride]))
                 if r == 0 and args.ft_steps > 0:
                     # keep the (step, ncol) structure: fine-tune ICs must
                     # be whole 384-column grids (the host-dynamics
@@ -394,15 +407,17 @@ def main(argv=None):
                 del tr
                 print(f"  collect[{r}]: {(k + 1) * seg}/{collect_steps} "
                       f"steps [{time.time() - t_start:.0f}s]", flush=True)
-        x5_dev = jnp.concatenate(parts)
-        del parts
+        if parts:
+            x5_dev = jnp.concatenate(parts)
+            del parts
         if pool_parts:
             ft_pool_x4 = jnp.concatenate(pool_parts)
             del pool_parts
-        n_samples = x5_dev.shape[0]
-        print(f"training set: {n_samples} device-resident samples "
-              f"(bf16, {n_samples * spec5.input_len * 2 / 1e9:.2f} GB HBM) "
-              f"[{time.time() - t_start:.0f}s]")
+        if x5_dev is not None:
+            n_samples = x5_dev.shape[0]
+            print(f"training set: {n_samples} device-resident samples "
+                  f"(bf16, {n_samples * spec5.input_len * 2 / 1e9:.2f} GB "
+                  f"HBM) [{time.time() - t_start:.0f}s]")
 
     # ---- 3. normalization stats (device reductions) ----------------------
     if have_stats:
@@ -460,7 +475,7 @@ def main(argv=None):
               f"[{time.time() - t_start:.0f}s]")
 
     # ---- 4. train the candidate v5 U-Net (scan-fused, on-device data) ----
-    if need_collection:
+    if x5_dev is not None:
         xb0 = x5_dev[:args.batch].astype(f32)
     else:  # shapes only; params come from cache
         xb0 = jnp.asarray(synthetic_inputs(spec5, args.batch, grid, seed=5))
@@ -581,7 +596,8 @@ def main(argv=None):
                 newparts = []
                 for _k in range(segs_dag):
                     s, trj = hybrid_driver.rollout(state.params, s, seg,
-                                                   True)
+                                                   True,
+                                                   start_step=_k * seg)
                     newparts.append(to_v5_bf16(trj["x4"][::stride]))
                     del trj
                 xs_train = upd(xs_train, jnp.concatenate(newparts),
@@ -786,7 +802,8 @@ def main(argv=None):
                 s = initial_state(xr, grid)
                 acc = jnp.zeros((ncol, 368), f32)
                 for _k in range(bc_segs):
-                    s, trj = drv.rollout(state.params, s, seg, True)
+                    s, trj = drv.rollout(state.params, s, seg, True,
+                                         start_step=_k * seg)
                     acc = acc + _res_sum(state.params, trj["x4"])
                     del trj
                 res = np.asarray(acc) / (bc_segs * seg)
@@ -836,7 +853,8 @@ def main(argv=None):
     ens_segs = []          # device (n, B, L) per segment
     m_e2, m_wmean, m_seg_sums, m_precc0 = [], [], [], []
     for k in range(n_segs):
-        stacked, traj = oracle_driver.rollout_ensemble(None, stacked, seg)
+        stacked, traj = oracle_driver.rollout_ensemble(None, stacked, seg,
+                                                       start_step=k * seg)
         ens, e2, wmean, seg_sum, precc0 = _member_stats(traj["t"],
                                                         traj["precc"])
         del traj
@@ -869,7 +887,8 @@ def main(argv=None):
     h_e2, h_wmean, h_seg_sums, h_diff_sums, h_precc = [], [], [], [], []
     h_scalars = []
     for k in range(n_segs):
-        hs, traj = hybrid_driver.rollout(state.params, hs, seg)
+        hs, traj = hybrid_driver.rollout(state.params, hs, seg,
+                                         start_step=k * seg)
         out = _hybrid_stats(traj["t"], traj["qn"], traj["t"],
                             traj["water_res"], ens_segs[k])
         h_precc.append(np.asarray(traj["precc"]))
@@ -899,14 +918,12 @@ def main(argv=None):
                                 range(len(pairs))])) if pairs else 0.0
     growth = np.sqrt(h_e2)
 
-    # monthly-MEAN fields from segment sums (f64 accumulation)
-    def win_means(seg_sums):  # (n_segs, ..., B, L) -> (n_win, ..., B, L)
-        s = seg_sums.astype(np.float64).reshape(
-            (n_win, segs_per_win) + seg_sums.shape[1:])
-        return s.sum(axis=1) / window
-
-    h_win = win_means(h_seg_sums)                # (n_win, B, L)
-    m_win = win_means(m_seg_sums)                # (n_win, M, B, L)
+    # monthly-MEAN fields from segment sums (f64 accumulation; the
+    # helper is unit-tested equal to trajectory window means)
+    h_win = D.window_means_from_segment_sums(
+        h_seg_sums, segs_per_win, window)        # (n_win, B, L)
+    m_win = D.window_means_from_segment_sums(
+        m_seg_sums, segs_per_win, window)        # (n_win, M, B, L)
     ens_win = m_win.mean(axis=1)                 # (n_win, B, L)
     mm_rmse = np.array([D.weighted_rmse(h_win[i][None], ens_win[i][None],
                                         grid) for i in range(n_win)])

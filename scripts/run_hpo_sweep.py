@@ -149,7 +149,14 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--n-data", type=int, default=8192)
-    ap.add_argument("--stale-timeout", type=float, default=15.0)
+    # stale timeout must comfortably exceed the slowest live trial under
+    # full worker contention, or survivors steal claims from live-but-slow
+    # workers (duplicated trials + spurious claim_N.retry markers that
+    # would fake the takeover evidence).  Trials here run ~5-15 s on a
+    # timeshared core; 60 s is a 4-10x margin while still letting the
+    # SIGKILLed victim's orphan be reclaimed well inside the 600 s
+    # worker deadline.
+    ap.add_argument("--stale-timeout", type=float, default=60.0)
     ap.add_argument("--kill-after", type=float, default=20.0)
     ap.add_argument("--out", default="docs/HPO.md")
     ap.add_argument("--dir", default=None, help="oracle directory")
@@ -319,7 +326,7 @@ def main(argv=None):
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}; total {time.time() - t_all:.0f}s")
     return {"results": res, "best": best, "final_score": final_score,
-            "takeover": takeover_marker}
+            "takeovers": takeovers}
 
 
 if __name__ == "__main__":

@@ -85,6 +85,18 @@ def parse_baseline_md(path: str) -> dict:
     return out
 
 
+def fallback_filelist(data_dir: str, split: str) -> list:
+    """Capsule-tree (one-month) split: parity-split the full file list
+    FIRST so train/scoring are disjoint, THEN apply the canonical stride.
+    (Striding first and parity-splitting after overlaps at every lcm
+    index; tests/test_real_data.py uses the same order.)"""
+    from climsim_tpu.data import ingest
+
+    stride = ingest.CANONICAL_SPLITS[split][1]
+    files = ingest.build_filelist(data_dir, ["E3SM-MMF.mli.*.nc"], 1)
+    return (files[0::2] if split == "train" else files[1::2])[::stride]
+
+
 def ingest_splits(data_dir: str, shard_dir: str, spec, grid, stats,
                   max_files: int | None, workers: int,
                   verbose: bool = True) -> dict:
@@ -102,13 +114,8 @@ def ingest_splits(data_dir: str, shard_dir: str, spec, grid, stats,
             continue
         files = ingest.canonical_filelist(data_dir, split)
         if not files:
-            # capsule trees (one month) predate the canonical periods;
-            # fall back to everything, stride by split
-            stride = ingest.CANONICAL_SPLITS[split][1]
-            files = ingest.build_filelist(data_dir, ["E3SM-MMF.mli.*.nc"],
-                                          stride)
-            # keep train/scoring disjoint in the fallback
-            files = files[0::2] if split == "train" else files[1::2]
+            # capsule trees (one month) predate the canonical periods
+            files = fallback_filelist(data_dir, split)
         if max_files:
             files = files[:max_files]
         if not files:

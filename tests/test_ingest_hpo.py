@@ -269,3 +269,33 @@ def test_build_split_h5_aggregation(ncdir, tmp_path):
     xi, yi = ds[3]
     np.testing.assert_array_equal(xi, x_npy[3])
     np.testing.assert_array_equal(yi, y_npy[3])
+
+
+def test_real_baselines_fallback_split_disjoint(tmp_path):
+    """run_real_baselines' capsule fallback split (parity first, then
+    canonical stride) yields disjoint train/scoring file lists that
+    together respect the strides -- a stride-then-parity order would
+    leak every lcm-index file into both splits."""
+    import importlib.util
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_real_baselines",
+        os.path.join(root, "scripts", "run_real_baselines.py"))
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["run_real_baselines"] = spec.loader.exec_module(mod) or mod
+
+    # 200 capsule-style files (one month, single year-month prefix)
+    d = tmp_path / "nc"
+    d.mkdir()
+    for i in range(200):
+        (d / f"E3SM-MMF.mli.0001-02-{i:05d}.nc").touch()
+
+    train = mod.fallback_filelist(str(d), "train")
+    score = mod.fallback_filelist(str(d), "scoring")
+    assert train and score
+    assert not set(train) & set(score), "train/scoring files overlap"
+    # strides honored on the disjoint halves
+    assert len(train) == len(range(0, 200, 2)[:: ingest.CANONICAL_SPLITS["train"][1]])
+    assert len(score) == len(range(1, 200, 2)[:: ingest.CANONICAL_SPLITS["scoring"][1]])

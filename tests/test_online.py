@@ -375,3 +375,72 @@ def test_newtonian_relaxation_forcing():
     expect = np.broadcast_to(
         (3.0 / 86400.0) * np.cos(np.deg2rad(grid.lat))[:, None], (384, 60))
     np.testing.assert_allclose(extra, expect, rtol=1e-3, atol=1e-10)
+
+
+def test_segmented_rollout_matches_full(tiny_model):
+    """Segmented rollouts with start_step threading equal one full
+    rollout EXACTLY, including under step-dependent (diurnal) forcing --
+    the month-scale eval advances in segments, and a segment restarting
+    the step index at 0 would jump the solar phase at every boundary."""
+    from climsim_tpu.online.driver import (HybridDriver, initial_state,
+                                           newtonian_relaxation)
+
+    apply, params = tiny_model
+    wrap = W.make_wrapper(apply, STATS5)
+    x0 = raw_v4_batch(16, seed=3)
+    s0 = initial_state(x0, GRID)
+    forcing = newtonian_relaxation(
+        np.asarray(s0.t), np.asarray(s0.q1), np.asarray(s0.u),
+        tau_steps=20.0, lat=GRID.lat[:16], diurnal_amp_k_per_day=5.0,
+        steps_per_day=8)  # short day so phase errors show within 12 steps
+    driver = HybridDriver(wrap, GRID, dyn_forcing=forcing)
+
+    _, full = driver.rollout(params, s0, 12)
+    s, seg_t = s0, []
+    for k in range(3):
+        s, tr = driver.rollout(params, s, 4, start_step=k * 4)
+        seg_t.append(np.asarray(tr["t"]))
+    np.testing.assert_array_equal(np.concatenate(seg_t),
+                                  np.asarray(full["t"]))
+
+    # and WITHOUT the offset the phase genuinely diverges (guards the
+    # forcing's step dependence itself)
+    s, bad = s0, []
+    for _ in range(3):
+        s, tr = driver.rollout(params, s, 4)
+        bad.append(np.asarray(tr["t"]))
+    assert np.abs(np.concatenate(bad) - np.asarray(full["t"])).max() > 1e-6
+
+
+def test_window_means_from_segment_sums():
+    """The device-reduction formulation (per-segment time sums -> window
+    means) equals trajectory window means exactly, so the production
+    monthly metric and the tested window_mean_rmse formulation agree."""
+    from climsim_tpu.eval import online_diags as D
+    from climsim_tpu.grid import synthetic_grid
+
+    grid = synthetic_grid(ncol=12)
+    rng = np.random.default_rng(5)
+    n_segs, seg, b, l = 6, 20, grid.ncol, 60
+    segs_per_win, window = 3, 60
+    traj = 250.0 + rng.standard_normal((n_segs * seg, b, l))
+    ref = 250.0 + rng.standard_normal((n_segs * seg, b, l))
+
+    seg_sums = traj.reshape(n_segs, seg, b, l).sum(axis=1)
+    win = D.window_means_from_segment_sums(seg_sums, segs_per_win, window)
+    direct = traj.reshape(2, window, b, l).mean(axis=1)
+    np.testing.assert_allclose(win, direct, rtol=1e-12)
+
+    # RMSE over those window means == window_mean_rmse on trajectories
+    ref_sums = ref.reshape(n_segs, seg, b, l).sum(axis=1)
+    rwin = D.window_means_from_segment_sums(ref_sums, segs_per_win, window)
+    got = [D.weighted_rmse(win[i][None], rwin[i][None], grid)
+           for i in range(2)]
+    want = D.window_mean_rmse(traj, ref, grid, window)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # member axis passes through: (n_segs, M, B, L)
+    m = np.stack([seg_sums, ref_sums], axis=1)
+    mw = D.window_means_from_segment_sums(m, segs_per_win, window)
+    np.testing.assert_allclose(mw[:, 0], win, rtol=0)
+    np.testing.assert_allclose(mw[:, 1], rwin, rtol=0)

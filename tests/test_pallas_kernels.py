@@ -150,9 +150,16 @@ def test_fused_gn_silu_conv3_matches_xla_chain():
                                             xla_gn_silu_conv3)
 
     rng = np.random.default_rng(3)
-    for c, cout, groups in ((128, 128, 32), (256, 128, 32), (64, 64, 16)):
+    # offset=1e3 exercises the |mean| >> std regime where a one-pass
+    # E[x^2]-mean^2 variance cancels catastrophically (the kernel is
+    # two-pass for exactly this reason)
+    for (c, cout, groups), offset in (((128, 128, 32), 0.0),
+                                      ((256, 128, 32), 0.0),
+                                      ((64, 64, 16), 0.0),
+                                      ((128, 128, 32), 1e3)):
         b, l = 16, 64
-        x = jnp.asarray(rng.standard_normal((b, l, c)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((b, l, c)) + offset,
+                        jnp.float32)
         gamma = jnp.asarray(rng.standard_normal(c), jnp.float32)
         beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
         w = jnp.asarray(rng.standard_normal((3, c, cout)) / np.sqrt(3 * c),
