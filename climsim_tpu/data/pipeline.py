@@ -256,8 +256,12 @@ class BootstrapLoader(BatchLoader):
                 xb = self.inputs[idx]   # (E, B, D_in)
                 yb = self.targets[idx]
                 if self.rules is not None:
-                    xb = jax.device_put(xb, self.rules.ensemble)
-                    yb = jax.device_put(yb, self.rules.ensemble)
+                    sh = self.rules.ensemble
+                    nd = dict(self.rules.mesh.shape).get("data", 1)
+                    if nd > 1 and xb.shape[1] % nd == 0:
+                        sh = self.rules.ensemble_batch
+                    xb = jax.device_put(xb, sh)
+                    yb = jax.device_put(yb, sh)
                 q.put((xb, yb))
         finally:
             q.put(None)

@@ -118,7 +118,8 @@ class Attention(nn.Module):
         out = jnp.einsum("bhlm,bmhd->blhd", w.astype(self.compute_dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, l, c)
-        out = Conv1d(c, 1, zero_init=True, name="proj")(out)
+        out = Conv1d(c, 1, zero_init=True,
+                     compute_dtype=self.compute_dtype, name="proj")(out)
         return (x + out) / np.sqrt(2.0)
 
 
@@ -141,15 +142,18 @@ class UNetBlock(nn.Module):
             h, x = _down(h), _down(x)
         elif self.up:
             h, x = _up(h), _up(x)
-        h = Conv1d(self.out_channels, 3, name="conv0")(h)
+        h = Conv1d(self.out_channels, 3,
+                   compute_dtype=self.compute_dtype, name="conv0")(h)
         h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-6,
                          dtype=self.norm_dtype, name="norm1")(h)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv1d(self.out_channels, 3, zero_init=True, name="conv1")(h)
+        h = Conv1d(self.out_channels, 3, zero_init=True,
+                   compute_dtype=self.compute_dtype, name="conv1")(h)
         if cin != self.out_channels:
-            x = Conv1d(self.out_channels, 1, name="skip")(x)
+            x = Conv1d(self.out_channels, 1,
+                       compute_dtype=self.compute_dtype, name="skip")(x)
         y = (h + x) / np.sqrt(2.0)
         if self.attention:
             y = Attention(self.out_channels,
@@ -240,7 +244,8 @@ class ClimSimUNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             res = self.seq_resolution >> level
             if level == 0:
-                h = Conv1d(mc, 3, name=f"enc{res}_conv")(h)
+                h = Conv1d(mc, 3, compute_dtype=self.compute_dtype,
+                           name=f"enc{res}_conv")(h)
             else:
                 h = UNetBlock(h.shape[-1], down=True, **kw,
                               name=f"enc{res}_down")(h, deterministic)
@@ -281,6 +286,7 @@ class ClimSimUNet(nn.Module):
         h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-6,
                          dtype=self.norm_dtype, name="out_norm")(h)
         h = Conv1d(n_prof_out + n_scal_out, 3, zero_init=True,
+                   compute_dtype=self.compute_dtype,
                    name="out_conv")(nn.silu(h))
         pad = self.seq_resolution - NUM_LEVELS
         h = h[:, pad:, :]  # (B, 60, C_out)

@@ -66,12 +66,12 @@ def _conv(x, p, compute_dtype=jnp.bfloat16):
     return y + p["Conv_0"]["bias"][None, None, :].astype(jnp.float32)
 
 
-def _fused_half(x, pn, pc, bt: int):
+def _fused_half(x, pn, pc, bt: int, compute_dtype=jnp.bfloat16):
     """GroupNorm -> silu -> conv3 as ONE Pallas kernel."""
     return fused_gn_silu_conv3(
         x, pn["scale"], pn["bias"], pc["Conv_0"]["kernel"],
         pc["Conv_0"]["bias"], groups=_num_groups(x.shape[-1]),
-        batch_tile=bt)
+        batch_tile=bt, compute_dtype=compute_dtype)
 
 
 def _attention(x, p, compute_dtype=jnp.bfloat16):
@@ -93,7 +93,8 @@ def _attention(x, p, compute_dtype=jnp.bfloat16):
 
 
 def _block(x, p, out_channels: int, *, up=False, down=False,
-           attention=False, bt: int, fused=True):
+           attention=False, bt: int, fused=True,
+           compute_dtype=jnp.bfloat16):
     cin = x.shape[-1]
     if (down or up) or not fused:
         h = jax.nn.silu(_gn(x, p["norm0"], _num_groups(cin)))
@@ -101,19 +102,20 @@ def _block(x, p, out_channels: int, *, up=False, down=False,
             h, x = _down(h), _down(x)
         elif up:
             h, x = _up(h), _up(x)
-        h = _conv(h, p["conv0"])
+        h = _conv(h, p["conv0"], compute_dtype)
     else:
-        h = _fused_half(x, p["norm0"], p["conv0"], bt)
+        h = _fused_half(x, p["norm0"], p["conv0"], bt, compute_dtype)
     if fused:
-        h = _fused_half(h, p["norm1"], p["conv1"], bt)
+        h = _fused_half(h, p["norm1"], p["conv1"], bt, compute_dtype)
     else:
         h = _conv(jax.nn.silu(
-            _gn(h, p["norm1"], _num_groups(out_channels))), p["conv1"])
+            _gn(h, p["norm1"], _num_groups(out_channels))), p["conv1"],
+            compute_dtype)
     if cin != out_channels:
-        x = _conv(x, p["skip"])
+        x = _conv(x, p["skip"], compute_dtype)
     y = (h + x) / np.sqrt(2.0)
     if attention:
-        y = _attention(y, p["Attention_0"])
+        y = _attention(y, p["Attention_0"], compute_dtype)
     return y
 
 
@@ -162,6 +164,7 @@ def unet_apply_fused(model: ClimSimUNet, params, x, *, fused: bool = True):
     spec = model.spec
     mc = model.model_channels
     bt = _pick_batch_tile(x.shape[0])
+    cd = model.compute_dtype
     h = _assemble(model, params, x)
 
     skips = []
@@ -171,34 +174,36 @@ def unet_apply_fused(model: ClimSimUNet, params, x, *, fused: bool = True):
             h = _conv(h, params[f"enc{res}_conv"], model.compute_dtype)
         else:
             h = _block(h, params[f"enc{res}_down"], h.shape[-1],
-                       down=True, bt=bt, fused=fused)
+                       down=True, bt=bt, fused=fused, compute_dtype=cd)
         skips.append(h)
         for idx in range(model.num_blocks):
             h = _block(h, params[f"enc{res}_block{idx}"], mc * mult,
                        attention=res in model.attn_resolutions,
-                       bt=bt, fused=fused)
+                       bt=bt, fused=fused, compute_dtype=cd)
             skips.append(h)
 
     if model.skip_conv:
-        skips = [_conv(s, params[f"skipconv{i}"], model.compute_dtype)
+        # IdentityConv (models/unet.py) computes at its f32 input dtype
+        # (flax dtype=None promotion), independent of compute_dtype
+        skips = [_conv(s, params[f"skipconv{i}"], jnp.float32)
                  for i, s in enumerate(skips)]
 
     for level, mult in reversed(list(enumerate(model.channel_mult))):
         res = model.seq_resolution >> level
         if level == len(model.channel_mult) - 1:
             h = _block(h, params[f"dec{res}_in0"], h.shape[-1],
-                       attention=True, bt=bt, fused=fused)
+                       attention=True, bt=bt, fused=fused, compute_dtype=cd)
             h = _block(h, params[f"dec{res}_in1"], h.shape[-1],
-                       bt=bt, fused=fused)
+                       bt=bt, fused=fused, compute_dtype=cd)
         else:
             h = _block(h, params[f"dec{res}_up"], h.shape[-1],
-                       up=True, bt=bt, fused=fused)
+                       up=True, bt=bt, fused=fused, compute_dtype=cd)
         for idx in range(model.num_blocks + 1):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             attn = (idx == model.num_blocks
                     and res in model.attn_resolutions)
             h = _block(h, params[f"dec{res}_block{idx}"], mc * mult,
-                       attention=attn, bt=bt, fused=fused)
+                       attention=attn, bt=bt, fused=fused, compute_dtype=cd)
 
     n_prof_out = (model.num_classes if model.classifier
                   else len(spec.output_profile_vars))

@@ -125,6 +125,14 @@ class ShardingRules:
         """Leading ensemble-member dim over the model axis (RPN)."""
         return NamedSharding(self.mesh, P(MODEL_AXIS))
 
+    @property
+    def ensemble_batch(self) -> NamedSharding:
+        """(E, B, ...) member bootstrap batches: members over the model
+        axis AND each member's batch over the data axis, so meshes with
+        more devices than members still data-parallelize within members
+        (GSPMD inserts the per-member gradient psum)."""
+        return NamedSharding(self.mesh, P(MODEL_AXIS, DATA_AXIS))
+
     def params(self, tree):
         """Replicate a parameter pytree across the mesh."""
         return jax.device_put(tree, self.replicated)

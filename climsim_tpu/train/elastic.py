@@ -132,7 +132,8 @@ def _restore(snapshot, fresh_state, rules: ShardingRules):
     member/seed axes sharded over the model axis reshard correctly, not
     just replicated)."""
     tree = jax.tree.map(
-        lambda s, f: np.asarray(s, dtype=np.asarray(f).dtype),
+        lambda s, f: np.asarray(
+            s, dtype=getattr(f, "dtype", None) or np.asarray(f).dtype),
         snapshot, fresh_state)
     shardings = jax.tree.map(
         lambda f: getattr(f, "sharding", rules.replicated), fresh_state)
@@ -393,11 +394,12 @@ def elastic_rpn_fit(rpn_factory: Callable[[ShardingRules], object],
         if not probe:
             raise RuntimeError("no healthy devices remain")
         m = usable_model_size(len(probe), ensemble_size)
-        mesh = make_mesh(num_data=1, num_model=m, devices=probe[:m])
+        d = len(probe) // m  # leftover healthy devices become data-parallel
+        mesh = make_mesh(num_data=d, num_model=m, devices=probe[:d * m])
         rules = ShardingRules(mesh)
         tr = rpn_factory(rules)
         loader = loader_factory(rules)
-        report.mesh_history.append((1, m))
+        report.mesh_history.append((d, m))
         return probe, rules, tr, loader
 
     devices, rules, tr, loader = build()

@@ -49,9 +49,15 @@ def make_rollout_loss(hybrid_driver, reference_driver, k_steps: int,
     """
     w = {k: jnp.asarray(1.0 / stds[k]) for k in _FT_KEYS}
 
-    def loss_fn(params, state0):
-        _, h = hybrid_driver.rollout(params, state0, k_steps)
-        _, r = reference_driver.rollout(reference_params, state0, k_steps)
+    def loss_fn(params, state0, start_step=0):
+        """``start_step`` (traced) is the absolute forcing step the IC was
+        sampled at: with a diurnal host forcing the K-step window must
+        replay the solar phase the state actually lives at, or the
+        fine-tune only ever optimizes the phase-0 slice of the dynamics."""
+        _, h = hybrid_driver.rollout(params, state0, k_steps,
+                                     start_step=start_step)
+        _, r = reference_driver.rollout(reference_params, state0, k_steps,
+                                        start_step=start_step)
         terms = [(((h[k] - r[k]) * w[k]) ** 2).mean() for k in _FT_KEYS]
         return sum(terms) / len(terms)
 
@@ -73,8 +79,9 @@ def make_finetune_step(hybrid_driver, reference_driver, k_steps: int,
     opt = optax.chain(optax.clip_by_global_norm(clip), optax.adamw(sched))
 
     @jax.jit
-    def step_fn(params, opt_state, state0):
-        loss, grads = jax.value_and_grad(loss_fn)(params, state0)
+    def step_fn(params, opt_state, state0, start_step=0):
+        loss, grads = jax.value_and_grad(loss_fn)(params, state0,
+                                                  start_step)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

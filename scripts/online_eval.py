@@ -313,9 +313,8 @@ def main(argv=None):
         diurnal_amp_k_per_day=args.diurnal)
     oracle_driver = HybridDriver(oracle_wrap, grid, dyn_forcing=forcing)
 
-    # diagnostic weights (online_diags._weights at ps=1e5), on device
-    w_np = (grid.p0 * grid.hyai[None, :] + grid.hybi[None, :] * 1.0e5)
-    w_np = (w_np[:, 1:] - w_np[:, :-1]) / 9.80616 * grid.area_wgt[:, None]
+    # diagnostic weights on device; MUST match the host-side metric path
+    w_np = D._weights(grid, ps=1.0e5)
     w_dev = jnp.asarray(w_np, f32)
     w_sum = float(w_np.sum())
 
@@ -586,6 +585,9 @@ def main(argv=None):
             # trajectory, covering the late-time distribution); default
             # restarts each round from jittered ICs (A/B'd better: the
             # eval's month-1 transient dominates the criterion)
+            abs_step = 0  # absolute forcing step; continues across
+            # carried rounds so the diurnal phase has no seam at round
+            # boundaries (the o3 segmented-rollout contract)
             for rd in range(args.dagger_rounds):
                 if s is None or not args.dagger_carry:
                     xr = x0.copy()
@@ -593,11 +595,13 @@ def main(argv=None):
                         0.1 * drng.standard_normal(
                             (ncol, 60)).astype(np.float32)
                     s = initial_state(xr, grid)
+                    abs_step = 0
                 newparts = []
                 for _k in range(segs_dag):
                     s, trj = hybrid_driver.rollout(state.params, s, seg,
                                                    True,
-                                                   start_step=_k * seg)
+                                                   start_step=abs_step)
+                    abs_step += seg
                     newparts.append(to_v5_bf16(trj["x4"][::stride]))
                     del trj
                 xs_train = upd(xs_train, jnp.concatenate(newparts),
@@ -709,12 +713,21 @@ def main(argv=None):
                 learning_rate=args.ft_lr, total_steps=args.ft_steps)
             gather = jax.jit(lambda st, i: jax.tree.map(
                 lambda a: a[i], st))
+            # absolute forcing step each pool entry was sampled at
+            # (segment-major collection, every ft_pool_stride-th step):
+            # the K-step window replays the IC's own solar phase
+            fps = max(stride, 8)  # == ft_pool_stride at collection
+            per_seg = -(-seg // fps)
+            pool_steps = np.array(
+                [(i // per_seg) * seg + (i % per_seg) * fps
+                 for i in range(n_pool)], np.int32)
             frng = np.random.default_rng(31)
             p, opt_state = state.params, opt_init(state.params)
             for i in range(args.ft_steps):
                 idx = int(frng.integers(0, n_pool))
                 p, opt_state, l = step_fn(p, opt_state,
-                                          gather(pool_state, idx))
+                                          gather(pool_state, idx),
+                                          int(pool_steps[idx]))
                 l = float(l)
                 if ft_loss_first is None:
                     ft_loss_first = l
@@ -747,8 +760,14 @@ def main(argv=None):
     # positivity semantics).
     corr = None
     if args.bias_correct > 0:
+        # the correction is fitted to the POST-fine-tune params, so every
+        # fine-tune knob is part of the key (same invariant as cache_ft:
+        # a correction estimated for one set of params must never be
+        # silently reused for another)
+        ft_tag = (f"_ftk{args.ft_k}s{args.ft_steps}lr{args.ft_lr:g}"
+                  if args.ft_steps > 0 else "")
         cache_bc = (cache_params.replace(
-            ".pkl", f"_bc{args.bias_correct}i{args.bias_iters}"
+            ".pkl", f"{ft_tag}_bc{args.bias_correct}i{args.bias_iters}"
                     f"g{args.bias_gain:g}.npz")
             if cache_params else None)
         bc_mask = np.zeros((1, 368), np.float32)
@@ -776,42 +795,55 @@ def main(argv=None):
         else:
             bc_segs = max(-(-args.bias_correct // seg), 1)
             brng = np.random.default_rng(53)
+
+            # ONE driver + ONE jitted residual program for ALL passes:
+            # the correction rides in as a TRACED leaf alongside params
+            # (zeros on pass 0 -- exact no-op), so each refinement pass
+            # reuses the compiled rollout instead of re-jitting the full
+            # U-Net program with a new baked constant (O(bias_iters)
+            # from-scratch compiles at flagship scale otherwise).
+            def traced_wrap(pc, x4_raw):
+                p, c = pc
+                y = hybrid_wrap(p, x4_raw)
+                return (y.reshape(-1, ncol, y.shape[-1])
+                        + (c * bc_mask_j)[None]).reshape(y.shape)
+
+            drv = HybridDriver(traced_wrap, grid, dyn_forcing=forcing)
+            # chunk the segment through the net (the whole segment at
+            # once -- 207k rows -- OOMs next to the rollout buffers)
+            bc_chunk = next(d for d in range(min(54, seg), 0, -1)
+                            if seg % d == 0)
+
+            @jax.jit
+            def _res_sum(pc, x4s):
+                # mean-residual numerator over one segment, (ncol, 368)
+                def one(x4t):
+                    x4f = x4t.reshape(-1, spec4.input_len)
+                    r = oracle_wrap(None, x4f) - traced_wrap(pc, x4f)
+                    return r.reshape(x4t.shape[0], ncol, -1).sum(0)
+
+                xs = x4s.reshape(-1, bc_chunk, ncol, spec4.input_len)
+                return jax.lax.map(one, xs).sum(0)
+
+            corr_j = jnp.zeros((ncol, 368), f32)
             for it in range(max(args.bias_iters, 1)):
-                cw = corrected_wrap(corr)
-                drv = HybridDriver(cw, grid, dyn_forcing=forcing)
-
-                # chunk the segment through the net (the whole segment at
-                # once -- 207k rows -- OOMs next to the rollout buffers)
-                bc_chunk = next(d for d in range(min(54, seg), 0, -1)
-                                if seg % d == 0)
-
-                @jax.jit
-                def _res_sum(params, x4s):
-                    # mean-residual numerator over one segment, (ncol, 368)
-                    def one(x4t):
-                        x4f = x4t.reshape(-1, spec4.input_len)
-                        r = oracle_wrap(None, x4f) - cw(params, x4f)
-                        return r.reshape(x4t.shape[0], ncol, -1).sum(0)
-
-                    xs = x4s.reshape(-1, bc_chunk, ncol, spec4.input_len)
-                    return jax.lax.map(one, xs).sum(0)
-
+                pc = (state.params, corr_j)
                 xr = x0.copy()
                 xr[:, spec4.input_slices["state_t"]] += \
                     0.1 * brng.standard_normal((ncol, 60)).astype(np.float32)
                 s = initial_state(xr, grid)
                 acc = jnp.zeros((ncol, 368), f32)
                 for _k in range(bc_segs):
-                    s, trj = drv.rollout(state.params, s, seg, True,
+                    s, trj = drv.rollout(pc, s, seg, True,
                                          start_step=_k * seg)
-                    acc = acc + _res_sum(state.params, trj["x4"])
+                    acc = acc + _res_sum(pc, trj["x4"])
                     del trj
                 res = np.asarray(acc) / (bc_segs * seg)
-                upd_c = args.bias_gain * res
-                corr = upd_c if corr is None else corr + upd_c
+                corr_j = corr_j + jnp.asarray(args.bias_gain * res, f32)
                 print(f"tendency correction pass {it}: mean |residual| "
                       f"{np.abs(res[:, :60]).mean():.3e} K/s (T block) "
                       f"[{time.time() - t_start:.0f}s]", flush=True)
+            corr = np.asarray(corr_j)
             if cache_bc:
                 np.savez(cache_bc, corr=corr)
         hybrid_driver = HybridDriver(corrected_wrap(corr), grid,

@@ -289,6 +289,49 @@ def test_elastic_rpn_member_axis_resharding(data):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_elastic_rpn_uses_leftover_devices_for_data(data):
+    """With fewer members than healthy devices, elastic_rpn_fit now
+    carves the leftover devices into a data axis ((2, 4) for 4 members
+    on 8 chips) instead of idling them, and per-member batches shard
+    their batch dim over it; losing devices collapses back to (1, 4)
+    and the trajectory still matches the uninterrupted run."""
+    from climsim_tpu.data.pipeline import BootstrapLoader
+    from climsim_tpu.train.elastic import elastic_rpn_fit
+    from climsim_tpu.train.rpn_recipe import rpn_trainer
+
+    x, y, stats = data
+    E = 4
+
+    def rpn_factory(rules):
+        return rpn_trainer(SPEC, stats, x, jax.random.PRNGKey(0),
+                           ensemble_size=E, hidden=(16,),
+                           ens_sharding=rules.ensemble)
+
+    def loader_factory(rules):
+        return BootstrapLoader(x, y, 32, E, rules=rules, seed=0,
+                               steps_per_epoch=2)
+
+    (p_clean, _, _), rep_c = elastic_rpn_fit(
+        rpn_factory, loader_factory, epochs=2, ensemble_size=E)
+    assert rep_c.mesh_history == [(2, 4)]
+
+    lost = jax.devices()[5:]
+    fired = []
+
+    def injector(epoch, step):
+        if epoch == 1 and step == 0 and not fired:
+            fired.append(1)
+            raise DeviceFailure(lost=lost)
+
+    (p, _, _), rep = elastic_rpn_fit(
+        rpn_factory, loader_factory, epochs=2, ensemble_size=E,
+        fault_injector=injector)
+    assert rep.mesh_history == [(2, 4), (1, 4)]
+    for a, b in zip(jax.tree.leaves(jax.device_get(p)),
+                    jax.tree.leaves(jax.device_get(p_clean))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_elastic_multiseed_seed_axis(data):
     """Multi-seed vmapped training through plain elastic_fit: the stacked
     seed axis (sharded over the model axis) resnaps onto the rebuilt mesh
