@@ -14,11 +14,14 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12):
+def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12,
+                    return_preds=False):
     """Train all six offline baselines on (x_tr, y_tr) and score on
     (x_sc, y_sc) in the common W/m^2 metric space.  The shared core of
-    the synthetic table (main) and the real-data runbook
-    (scripts/run_real_baselines.py).  Returns (tables, train_info)."""
+    the synthetic table (main), the real-data runbook
+    (scripts/run_real_baselines.py) and the offline figure set
+    (scripts/make_offline_figures.py).  Returns (tables, train_info),
+    plus (preds, samples) dicts when ``return_preds`` is set."""
     from climsim_tpu.data.pipeline import (BatchLoader, BootstrapLoader,
                                            DeviceResidentLoader)
     from climsim_tpu.data.transforms import make_target_transform
@@ -127,6 +130,8 @@ def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12):
     x_sc_n = (x_sc - stats.inp_sub) / stats.inp_div
     tables, _ = offline_score(spec, grid, stats, x_sc_n, tgt, preds,
                               samples)
+    if return_preds:
+        return tables, train_info, preds, samples
     return tables, train_info
 
 
