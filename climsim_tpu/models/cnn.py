@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..varspec import VarSpec
-from .common import ACTIVATIONS
+from .common import ACTIVATIONS, out_dtype
 
 
 class Conv1d(nn.Module):
@@ -31,7 +31,7 @@ class Conv1d(nn.Module):
                     dtype=self.compute_dtype, param_dtype=jnp.float32,
                     bias_init=nn.initializers.constant(
                         self.bias_init_value))(x)
-        return y.astype(jnp.float32)
+        return y.astype(out_dtype(self.compute_dtype))
 
 
 class ResBlock(nn.Module):
@@ -63,6 +63,10 @@ class ClimSimCNN(nn.Module):
     kernel: int = 3
     dropout: float = 0.175
     activation: str = "relu"
+    # "softplus" (default, deliberate delta -- see head comment below) or
+    # "relu" (reference-exact, hpo_train.py:197; used by the weight-port
+    # parity test in tests/test_model_parity.py)
+    scalar_head: str = "softplus"
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -86,6 +90,9 @@ class ClimSimCNN(nn.Module):
         # softplus is the smooth positive surrogate (relu is its beta->inf
         # limit): same output range, never zero-gradient.  Deliberate,
         # documented deviation from the reference head.
-        rel = nn.softplus(Conv1d(n_scal, 1, self.compute_dtype,
-                                 bias_init_value=0.5)(h))
+        if self.scalar_head == "relu":
+            rel = nn.relu(Conv1d(n_scal, 1, self.compute_dtype)(h))
+        else:
+            rel = nn.softplus(Conv1d(n_scal, 1, self.compute_dtype,
+                                     bias_init_value=0.5)(h))
         return jnp.concatenate([lin, rel], axis=-1)  # (B, 60, C_out)

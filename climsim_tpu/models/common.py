@@ -15,6 +15,13 @@ import jax
 import jax.numpy as jnp
 
 
+def out_dtype(compute_dtype) -> jnp.dtype:
+    """Model-output / accumulation dtype for a given compute dtype: f32 for
+    the production bf16/f32 policies, f64 when a parity test runs the model
+    at compute_dtype=float64 (a hard f32 cast would silently truncate)."""
+    return jnp.result_type(jnp.float32, compute_dtype)
+
+
 def leaky_relu15(x):
     """LeakyReLU with the 0.15 slope used by MLP/RPN baselines."""
     return jnp.where(x > 0, x, 0.15 * x)
@@ -46,7 +53,7 @@ class Dense(nn.Module):
         y = jax.lax.dot_general(
             x.astype(self.compute_dtype), k.astype(self.compute_dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=out_dtype(self.compute_dtype))
         # activations stay in compute_dtype: trunk layers are HBM-bandwidth
         # bound at large batch, and bf16 activations cut that traffic in
         # half (measured ~1.6x step speedup on v5e for the MLP baseline)
@@ -72,7 +79,10 @@ class MLPTrunk(nn.Module):
         for h in self.hidden:
             x = Dense(h, self.compute_dtype)(x)
             if self.layernorm:
-                x = nn.LayerNorm(dtype=jnp.float32)(x)
+                # epsilon matches torch.nn.LayerNorm's 1e-5 (the HSR/cVAE
+                # reference blocks) so ported weights are forward-exact
+                x = nn.LayerNorm(epsilon=1e-5,
+                                 dtype=out_dtype(self.compute_dtype))(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             x = act(x)
@@ -94,7 +104,8 @@ class LinReluHead(nn.Module):
                     name="out_linear")(x)
         rel = nn.relu(Dense(self.relu_features, self.compute_dtype,
                             name="out_relu")(x))
-        return jnp.concatenate([lin, rel], axis=-1).astype(jnp.float32)
+        return jnp.concatenate([lin, rel], axis=-1).astype(
+            out_dtype(self.compute_dtype))
 
 
 def param_count(params) -> int:

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..varspec import VarSpec
-from .common import Dense, MLPTrunk
+from .common import Dense, MLPTrunk, out_dtype
 
 
 class CVAE(nn.Module):
@@ -40,13 +40,14 @@ class CVAE(nn.Module):
 
     def encode(self, y, x):
         h = self.enc_trunk(jnp.concatenate([y, x], axis=-1))
-        return (self.enc_mean(h).astype(jnp.float32),
-                self.enc_logstd(h).astype(jnp.float32))
+        dt = out_dtype(self.compute_dtype)
+        return self.enc_mean(h).astype(dt), self.enc_logstd(h).astype(dt)
 
     def decode(self, z, x):
         h = self.dec_trunk(jnp.concatenate([z, x], axis=-1))
-        return (self.dec_mean(h).astype(jnp.float32),
-                jnp.exp(self.dec_logstd(h).astype(jnp.float32)))
+        dt = out_dtype(self.compute_dtype)
+        return (self.dec_mean(h).astype(dt),
+                jnp.exp(self.dec_logstd(h).astype(dt)))
 
     def __call__(self, y, x, rng=None, deterministic: bool = True):
         """Training pass: returns (y_mean, y_std, kl)."""

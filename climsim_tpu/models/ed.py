@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..varspec import VarSpec
-from .common import Dense, MLPTrunk
+from .common import Dense, MLPTrunk, out_dtype
 
 
 class EncoderDecoder(nn.Module):
@@ -32,4 +32,5 @@ class EncoderDecoder(nn.Module):
                      compute_dtype=self.compute_dtype, name="decoder")(
                          z, deterministic)
         return nn.elu(Dense(self.spec.output_len, self.compute_dtype,
-                            name="out")(h)).astype(jnp.float32)
+                            name="out")(h)).astype(
+                                out_dtype(self.compute_dtype))

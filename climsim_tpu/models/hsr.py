@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..varspec import VarSpec
-from .common import Dense, MLPTrunk
+from .common import Dense, MLPTrunk, out_dtype
 
 
 class HSR(nn.Module):
@@ -32,10 +32,12 @@ class HSR(nn.Module):
                   compute_dtype=self.compute_dtype)
         hm = MLPTrunk(**kw, name="mean_trunk")(x, deterministic)
         mean = Dense(self.spec.output_len, self.compute_dtype,
-                     name="mean_out")(hm).astype(jnp.float32)
+                     name="mean_out")(hm).astype(
+                         out_dtype(self.compute_dtype))
         hp = MLPTrunk(**kw, name="logprec_trunk")(x, deterministic)
         logprec = Dense(self.spec.output_len, self.compute_dtype,
-                        name="logprec_out")(hp).astype(jnp.float32)
+                        name="logprec_out")(hp).astype(
+                            out_dtype(self.compute_dtype))
         return mean, logprec
 
     def sample(self, variables, x, rng, num_samples: int = 1):

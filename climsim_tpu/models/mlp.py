@@ -19,7 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..varspec import VarSpec, var_len
-from .common import ACTIVATIONS, Dense, LinReluHead, MLPTrunk
+from .common import (ACTIVATIONS, Dense, LinReluHead, MLPTrunk,
+                     out_dtype)
 
 
 def _head_split(spec: VarSpec) -> tuple[int, int]:
@@ -67,7 +68,7 @@ class OnlineMLP(nn.Module):
                      compute_dtype=self.compute_dtype)(x, deterministic)
         y = Dense(lin + rel, self.compute_dtype, name="out")(h)
         y = jnp.concatenate([y[:, :lin], nn.relu(y[:, lin:])],
-                            axis=-1).astype(jnp.float32)
+                            axis=-1).astype(out_dtype(self.compute_dtype))
         if self.output_prune:
             import numpy as np
 

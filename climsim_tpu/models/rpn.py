@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..varspec import VarSpec
-from .common import Dense, MLPTrunk
+from .common import Dense, MLPTrunk, out_dtype
 
 
 class RPNNet(nn.Module):
@@ -33,7 +33,8 @@ class RPNNet(nn.Module):
         h = MLPTrunk(self.hidden, "leakyrelu",
                      compute_dtype=self.compute_dtype)(x, deterministic)
         return Dense(self.spec.output_len, self.compute_dtype,
-                     name="out")(h).astype(jnp.float32)
+                     name="out")(h).astype(
+                         out_dtype(self.compute_dtype))
 
 
 class RPNEnsemble:

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..varspec import NUM_LEVELS, VarSpec
+from .common import out_dtype
 
 
 def _scaled_xavier(scale: float):
@@ -65,7 +66,7 @@ class Conv1d(nn.Module):
         y = nn.Conv(self.features, (self.kernel,), padding="SAME",
                     kernel_init=init, dtype=self.compute_dtype,
                     param_dtype=jnp.float32)(x)
-        return y.astype(jnp.float32)
+        return y.astype(out_dtype(self.compute_dtype))
 
 
 def _num_groups(c: int, cap: int = 32) -> int:
@@ -89,19 +90,23 @@ def _up(x):
 class Attention(nn.Module):
     """Single-axis self-attention over the (<=64-token) level axis.
 
-    Mirrors AttentionOp (layers.py:291-339): per-head dim 64, qkv from a 1x1
-    conv, scores scaled by 1/sqrt(d).
+    Mirrors AttentionOp (layers.py:291-339): qkv from a 1x1 conv, scores
+    scaled by 1/sqrt(d).  ``num_heads=0`` (default) uses per-head dim 64
+    (a TPU-friendly multi-head layout); the reference passes num_heads=1
+    everywhere (climsim_unet.py:127), selectable for exact parity.
     """
 
     channels: int
     channels_per_head: int = 64
+    num_heads: int = 0  # 0 = auto (C // channels_per_head); ref parity: 1
     compute_dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, l, c = x.shape
-        heads = max(c // self.channels_per_head, 1)
+        heads = (self.num_heads if self.num_heads > 0
+                 else max(c // self.channels_per_head, 1))
         d = c // heads
         h = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6,
                          dtype=self.norm_dtype, name="norm")(x)
@@ -112,11 +117,12 @@ class Attention(nn.Module):
         q = q.astype(self.compute_dtype)
         k = k.astype(self.compute_dtype)
         v = v.astype(self.compute_dtype)
+        acc = out_dtype(self.compute_dtype)
         scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=acc)
         w = nn.softmax(scores / np.sqrt(d), axis=-1)
         out = jnp.einsum("bhlm,bmhd->blhd", w.astype(self.compute_dtype), v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=acc)
         out = out.reshape(b, l, c)
         out = Conv1d(c, 1, zero_init=True,
                      compute_dtype=self.compute_dtype, name="proj")(out)
@@ -124,11 +130,30 @@ class Attention(nn.Module):
 
 
 class UNetBlock(nn.Module):
+    """EDM-style residual block.
+
+    Two deliberate deltas from the reference (layers.py:617-634), each
+    behind a flag whose non-default value reproduces the reference bit
+    pattern (verified by tests/test_model_parity.py weight-port tests):
+
+    * ``norm1_act=True`` applies silu between norm1 and conv1 (the standard
+      EDM block).  The reference *omits* this activation -- it was deleted
+      together with the commented-out embedding code (layers.py:621-627),
+      leaving GN -> dropout -> conv with no nonlinearity.
+    * ``resample_proj=False`` omits the 1x1 skip conv when channel counts
+      match on up/down blocks.  The reference passes resample_proj=True
+      (climsim_unet.py:132) so its up/down blocks always carry an extra
+      trainable 1x1 conv in the skip path.
+    """
+
     out_channels: int
     up: bool = False
     down: bool = False
     attention: bool = False
     dropout: float = 0.10
+    norm1_act: bool = True     # ref parity: False (no silu after norm1)
+    resample_proj: bool = False  # ref parity: True (1x1 skip conv on up/down)
+    attn_heads: int = 0          # ref parity: 1
     compute_dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
 
@@ -146,17 +171,19 @@ class UNetBlock(nn.Module):
                    compute_dtype=self.compute_dtype, name="conv0")(h)
         h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-6,
                          dtype=self.norm_dtype, name="norm1")(h)
-        h = nn.silu(h)
+        if self.norm1_act:
+            h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = Conv1d(self.out_channels, 3, zero_init=True,
                    compute_dtype=self.compute_dtype, name="conv1")(h)
-        if cin != self.out_channels:
+        if (cin != self.out_channels
+                or (self.resample_proj and (self.up or self.down))):
             x = Conv1d(self.out_channels, 1,
                        compute_dtype=self.compute_dtype, name="skip")(x)
         y = (h + x) / np.sqrt(2.0)
         if self.attention:
-            y = Attention(self.out_channels,
+            y = Attention(self.out_channels, num_heads=self.attn_heads,
                           compute_dtype=self.compute_dtype,
                           norm_dtype=self.norm_dtype)(y)
         return y
@@ -192,6 +219,12 @@ class ClimSimUNet(nn.Module):
     strato_lev_out: int = 15
     classifier: bool = False
     num_classes: int = 3  # classifier head: 3-class per-level scheme
+    # Reference-exact switches (see UNetBlock docstring); the defaults are
+    # the improved TPU design, the parity values reproduce the reference
+    # network bit-for-bit (tests/test_model_parity.py ports its weights).
+    norm1_act: bool = True
+    resample_proj: bool = False
+    attn_heads: int = 0
     compute_dtype: jnp.dtype = jnp.bfloat16
     # f32 norms are the exact-parity default; bf16 halves the dominant
     # HBM traffic of the (bandwidth-bound) step -- see docs/PERFORMANCE.md
@@ -236,7 +269,9 @@ class ClimSimUNet(nn.Module):
         mc = self.model_channels
         h = self._assemble(x)
 
-        kw = dict(dropout=self.dropout, compute_dtype=self.compute_dtype,
+        kw = dict(dropout=self.dropout, norm1_act=self.norm1_act,
+                  resample_proj=self.resample_proj, attn_heads=self.attn_heads,
+                  compute_dtype=self.compute_dtype,
                   norm_dtype=self.norm_dtype)
         # --- encoder ------------------------------------------------------
         skips = []
