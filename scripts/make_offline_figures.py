@@ -6,8 +6,10 @@ renders for the real scoring year (website/evaluating.md tables + the paper
 figures): per-variable MAE and R2 grouped bars across the six baselines,
 and the pressure-latitude R2 skill maps of the heating (dT/dt) and
 moistening (dq/dt) tendencies computed from daily zonal means of the
-*weighted* (W/m^2) fields, exactly the reference's plot_r2_analysis
-pipeline (data_utils.py:1609-1690).
+*unweighted* scoring-space fields, exactly the reference's
+plot_r2_analysis pipeline (data_utils.py:1609-1690 operates on
+target_scoring/preds_scoring before any dp/area weighting; per-sample dp
+weights would not cancel in R2 the way constant per-level scales do).
 
 Machinery validation: skill values on synthetic data are not the published
 ones (see docs/SYNTHETIC_RESULTS.md for why each model lands where it
@@ -34,24 +36,13 @@ import jax  # noqa: E402
 SAMPLES_PER_DAY = 12  # scoring stride 6 at the 1200 s cadence
 
 
-def daily_zonal(a: np.ndarray, grid, spd: int = SAMPLES_PER_DAY):
-    """(T, ncol, 60) weighted field -> (lat, days, 60) daily zonal means
-    (reference reshape_daily, data_utils.py:1609-1629)."""
-    t = a.shape[0]
-    days = t // spd
-    d = a[: days * spd].reshape(days, spd, grid.ncol, -1).mean(axis=1)
-    return np.stack([d[:, idx, :].mean(axis=1)
-                     for idx in grid.lat_indices()])
-
-
 def main(epochs: int = 10, days: int = 10):
     from climsim_tpu.data.synthetic import synthetic_split
     from climsim_tpu.data.transforms import make_target_transform
     from climsim_tpu.eval.analysis import (daily_zonal_r2,
                                            mean_pressure_by_lat,
-                                           plot_metric_bars, plot_r2_maps)
-    from climsim_tpu.eval.weighting import (pressure_thickness_from_inputs,
-                                            weight_outputs)
+                                           plot_metric_bars, plot_r2_maps,
+                                           reshape_daily)
     from climsim_tpu.grid import load_default_grid
     from climsim_tpu.norms import compute_norms_from_data
     from climsim_tpu.varspec import get_varspec
@@ -69,8 +60,7 @@ def main(epochs: int = 10, days: int = 10):
     stats = compute_norms_from_data(spec, x_tr, y_tr)
 
     tables, _info, preds, _samples = train_and_score(
-        spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=epochs,
-        return_preds=True)
+        spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=epochs)
 
     outdir = os.path.join(_REPO, "docs", "figures")
     os.makedirs(outdir, exist_ok=True)
@@ -82,20 +72,19 @@ def main(epochs: int = 10, days: int = 10):
         plot_metric_bars(tables, metric, save_path=path)
         print(f"wrote {os.path.relpath(path, _REPO)}")
 
-    # press-lat R2 maps from weighted daily zonal means (plot_r2_analysis)
-    x_sc_n = (x_sc - stats.inp_sub) / stats.inp_div
-    dp = pressure_thickness_from_inputs(
-        x_sc_n.astype(np.float64), spec, grid, stats)
+    # press-lat R2 maps from unweighted scoring-space daily zonal means
+    # (plot_r2_analysis, data_utils.py:1641-1657)
+    map_vars = ("ptend_t", "ptend_q0001")
     tgt = np.asarray(make_target_transform(spec, stats)(y_sc), np.float64)
-    tw = weight_outputs(tgt, spec, grid, dp, stats)
-    tz = {v: daily_zonal(tw[v], grid) for v in ("ptend_t", "ptend_q0001")}
+    tz = dict(zip(map_vars, reshape_daily(tgt, grid, spec=spec,
+                                          variables=map_vars)))
 
-    r2maps = {"ptend_t": {}, "ptend_q0001": {}}
+    r2maps = {v: {} for v in map_vars}
     for name, p in preds.items():
-        pw = weight_outputs(p.astype(np.float64), spec, grid, dp, stats)
-        for v in r2maps:
-            r2maps[v][name] = daily_zonal_r2(daily_zonal(pw[v], grid),
-                                             tz[v])
+        pz = reshape_daily(p.astype(np.float64), grid, spec=spec,
+                           variables=map_vars)
+        for v, pd in zip(map_vars, pz):
+            r2maps[v][name] = daily_zonal_r2(pd, tz[v])
 
     ps_sl = spec.input_slices["state_ps"]
     ps_by_col = (x_sc[:, ps_sl].reshape(-1, grid.ncol)

@@ -14,14 +14,13 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12,
-                    return_preds=False):
+def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12):
     """Train all six offline baselines on (x_tr, y_tr) and score on
     (x_sc, y_sc) in the common W/m^2 metric space.  The shared core of
     the synthetic table (main), the real-data runbook
     (scripts/run_real_baselines.py) and the offline figure set
-    (scripts/make_offline_figures.py).  Returns (tables, train_info),
-    plus (preds, samples) dicts when ``return_preds`` is set."""
+    (scripts/make_offline_figures.py).  Always returns the 4-tuple
+    (tables, train_info, preds, samples)."""
     from climsim_tpu.data.pipeline import (BatchLoader, BootstrapLoader,
                                            DeviceResidentLoader)
     from climsim_tpu.data.transforms import make_target_transform
@@ -130,9 +129,7 @@ def train_and_score(spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=12,
     x_sc_n = (x_sc - stats.inp_sub) / stats.inp_div
     tables, _ = offline_score(spec, grid, stats, x_sc_n, tgt, preds,
                               samples)
-    if return_preds:
-        return tables, train_info, preds, samples
-    return tables, train_info
+    return tables, train_info, preds, samples
 
 
 def metric_tables_markdown(tables, reference=None):
@@ -186,7 +183,7 @@ def main(epochs=12, n_train=48 * 384, n_score=12 * 384):
     x, y = synthetic_split(spec, n=n_train + n_score, grid=grid, seed=0,
                            noise=0.03)
     stats = compute_norms_from_data(spec, x[:n_train], y[:n_train])
-    tables, train_info = train_and_score(
+    tables, train_info, _preds, _samples = train_and_score(
         spec, grid, stats, x[:n_train], y[:n_train],
         x[n_train:], y[n_train:], epochs=epochs)
 

@@ -186,7 +186,7 @@ def main(argv=None):
     stats = (load_asset_norms("v1") if args.norms == "assets"
              else compute_norms_from_data(spec, x_tr, y_tr))
 
-    tables, train_info = train_and_score(
+    tables, train_info, _preds, _samples = train_and_score(
         spec, grid, stats, x_tr, y_tr, x_sc, y_sc, epochs=args.epochs)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
