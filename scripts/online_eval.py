@@ -33,11 +33,14 @@ ever cross to host.  On a remote-attached chip the host link can be
 script moved ~30 GB and took hours in transfers alone.
 
 Diagnostics:
-  1. monthly-MEAN weighted T RMSE vs the ensemble, against the pairwise
-     member floor -- the reference's actual monthly metric (computed on
-     h0 monthly-mean output, not instantaneous states).  Time-averaging
-     collapses chaotic noise, so this is the bias-sensitive,
-     coupling-grade-deciding number.
+  1. monthly-MEAN weighted RMSE of T, Q AND U vs the ensemble, each
+     against its own pairwise member floor -- the reference's actual
+     monthly metric covers all three fields
+     (monthly-online-rmse-visualization.ipynb cells 5-7 render 'T', 'Q'
+     and 'U' panels; computed on h0 monthly-mean output, not
+     instantaneous states).  Time-averaging collapses chaotic noise, so
+     these are the bias-sensitive, coupling-grade-deciding numbers; PASS
+     requires every variable in every window within 1.5x its floor.
   2. instantaneous error growth (saturating vs diverging)
   3. zonal-mean bias map, precipitation statistics, drift, microphysics,
      column water-budget residual
@@ -68,7 +71,8 @@ C_FLOOR = "#1baf7a"
 STEPS_PER_DAY = 72  # 86400 s / 1200 s
 
 
-def make_oracle_wrapper(spec5, spec4, seed: int = 1):
+def make_oracle_wrapper(spec5, spec4, seed: int = 1,
+                        tend_scale: float = 1.0):
     """The synthetic tendency map as a coupling-contract emulator.
 
     Reimplements data.synthetic.synthetic_targets as a pure jax function
@@ -86,6 +90,15 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
     reading raw unpruned features is unlearnable-in-principle from the
     production inputs (measured: 1.85 normalized RMSE of irreducible
     label spread from the pruned coordinates alone).
+
+    ``tend_scale`` multiplies every output scale.  The climate's
+    equilibrium anomaly amplitude is ~tau x tendency amplitude, so this
+    knob (with --tau-days) sets the physical magnitude of the stand-in
+    climate: the production default 0.2 with tau = 1 day gives
+    perturbed-IC T floors of O(1 K) -- the magnitude of the reference's
+    real online RMSE plots (monthly-online-rmse-visualization.ipynb axes)
+    -- instead of the 15 K noise-with-a-relaxation-term of scale 1.0,
+    tau = 2 days.
     """
     import jax.numpy as jnp
 
@@ -121,6 +134,7 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1):
         else:
             s = 100.0
         scale[sl] = s
+    scale *= tend_scale
     scal_mask = np.zeros(d_out)
     for v in spec5.outputs:
         if var_len(v) == 1:
@@ -180,10 +194,16 @@ def main(argv=None):
     ap.add_argument("--train-steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--channels", type=int, default=64)
-    ap.add_argument("--tau-days", type=float, default=2.0,
+    ap.add_argument("--tau-days", type=float, default=1.0,
                     help="host-dynamics Newtonian relaxation e-folding")
     ap.add_argument("--diurnal", type=float, default=1.5,
                     help="diurnal T forcing amplitude, K/day at equator")
+    ap.add_argument("--oracle-scale", type=float, default=0.2,
+                    help="multiplier on the oracle's tendency amplitudes; "
+                         "with --tau-days sets the stand-in climate's "
+                         "anomaly magnitude (default 0.2 + tau 1 day -> "
+                         "O(1 K) T floors, the magnitude of the "
+                         "reference's real online RMSE plots)")
     ap.add_argument("--collect-steps", type=int, default=None,
                     help="oracle-rollout steps per collection run for the "
                          "training set (auto from train volume if unset)")
@@ -300,7 +320,8 @@ def main(argv=None):
               f"seg {args.seg}->{seg} ({n_win} windows x {window})")
 
     # ---- 1. oracle "MMF" + shared host dynamics --------------------------
-    oracle_wrap, oracle_v5, fit_std = make_oracle_wrapper(spec5, spec4)
+    oracle_wrap, oracle_v5, fit_std = make_oracle_wrapper(
+        spec5, spec4, tend_scale=args.oracle_scale)
     x_std = synthetic_inputs(spec5, 4 * ncol, grid, seed=0)
     x_std[:, sl_icol5] = (np.arange(x_std.shape[0]) % ncol + 1)[:, None]
     fit_std(x_std)  # FROZEN: part of the oracle system's definition
@@ -329,17 +350,19 @@ def main(argv=None):
     cache_stats = cache_params = cache_ft = None
     if args.cache:
         os.makedirs(args.cache, exist_ok=True)
-        # o3 = oracle/system revision: o2 fixed the oracle feature view
+        # o4 = oracle/system revision: o2 fixed the oracle feature view
         # + qn/rh normalization; o3 fixed the segmented-rollout diurnal
-        # phase (start_step threading) -- collection rollouts under o2
-        # saw a phase jump every --seg steps, so o2 artifacts are stale.
-        # The host-dynamics knobs (tau, diurnal) are part of the key:
-        # stats/params trained under one attractor must never be
-        # silently reused under different dynamics.
+        # phase (start_step threading); o4 rescaled the climate to
+        # physical magnitudes (oracle-scale 0.2, tau 1 day -> O(1 K)
+        # floors).  The host-dynamics knobs (tau, diurnal, oracle scale)
+        # are part of the key: stats/params trained under one attractor
+        # must never be silently reused under different dynamics.
         host = (f"_h{args.tau_days:g}-{args.diurnal:g}"
-                if (args.tau_days, args.diurnal) != (2.0, 1.5) else "")
-        tag = (f"o3c{collect_steps}x{args.collect_rollouts}s{stride}"
-               f"_j{args.jitter.replace(',', '-')}{host}")
+                if (args.tau_days, args.diurnal) != (1.0, 1.5) else "")
+        osc = (f"_os{args.oracle_scale:g}"
+               if args.oracle_scale != 0.2 else "")
+        tag = (f"o4c{collect_steps}x{args.collect_rollouts}s{stride}"
+               f"_j{args.jitter.replace(',', '-')}{host}{osc}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
         # r2 = training-recipe version (cosine over run length, weighted
         # amp sampling); bump when the recipe changes so stale params
@@ -871,24 +894,30 @@ def main(argv=None):
         member_states.append(initial_state(xm, grid))
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *member_states)
 
+    # the coupling gate covers T, Q and U (the reference's monthly
+    # notebook renders all three panels); instantaneous growth/zonal-bias
+    # diagnostics stay on T, so only T's full ensemble-mean trajectory is
+    # kept in HBM -- Q/U need only per-segment time sums (KB-scale)
+    GATE_VARS = ("t", "q1", "u")
+
     @jax.jit
-    def _member_stats(ts, precc):
-        # ts: (M, n, B, L); precc: (M, n, B)
+    def _member_stats(trj):
+        ts = trj["t"]  # (M, n, B, L)
         ens = ts.mean(0)
         e2 = (jnp.stack([((ts[i] - ts[j]) ** 2 * w_dev).sum((1, 2)) / w_sum
                          for i, j in pairs]) if pairs
               else jnp.zeros((0, ts.shape[1])))      # (P, n)
         wmean = (ts * w_dev).sum((2, 3)) / w_sum     # (M, n)
-        seg_sum = ts.sum(1)                          # (M, B, L)
-        return ens, e2, wmean, seg_sum, precc[0]
+        seg_sum = jnp.stack([trj[v].sum(1)
+                             for v in GATE_VARS])    # (V, M, B, L)
+        return ens, e2, wmean, seg_sum, trj["precc"][0]
 
-    ens_segs = []          # device (n, B, L) per segment
+    ens_segs = []          # device (n, B, L) per segment (T)
     m_e2, m_wmean, m_seg_sums, m_precc0 = [], [], [], []
     for k in range(n_segs):
         stacked, traj = oracle_driver.rollout_ensemble(None, stacked, seg,
                                                        start_step=k * seg)
-        ens, e2, wmean, seg_sum, precc0 = _member_stats(traj["t"],
-                                                        traj["precc"])
+        ens, e2, wmean, seg_sum, precc0 = _member_stats(traj)
         del traj
         ens_segs.append(ens)
         m_e2.append(np.asarray(e2))
@@ -899,15 +928,16 @@ def main(argv=None):
               f"[{time.time() - t_start:.0f}s]", flush=True)
     m_e2 = np.concatenate(m_e2, axis=1)          # (P, steps)
     m_wmean = np.concatenate(m_wmean, axis=1)    # (M, steps)
-    m_seg_sums = np.stack(m_seg_sums)            # (n_segs, M, B, L)
+    m_seg_sums = np.stack(m_seg_sums)            # (n_segs, V, M, B, L)
     precc_r = np.concatenate(m_precc0)           # (steps, B)
 
     # ---- 6. hybrid rollout vs the stored ensemble mean -------------------
     @jax.jit
-    def _hybrid_stats(ht, qn, t, wres, ens_seg):
+    def _hybrid_stats(trj, ens_seg):
+        ht, qn, t, wres = trj["t"], trj["qn"], trj["t"], trj["water_res"]
         e2 = ((ht - ens_seg) ** 2 * w_dev).sum((1, 2)) / w_sum
         wmean = (ht * w_dev).sum((1, 2)) / w_sum
-        seg_sum = ht.sum(0)
+        seg_sum = jnp.stack([trj[v].sum(0) for v in GATE_VARS])  # (V, B, L)
         diff_sum = (ht - ens_seg).sum(0)
         cloudy = qn > 1e-7
         return (e2, wmean, seg_sum, diff_sum,
@@ -921,8 +951,7 @@ def main(argv=None):
     for k in range(n_segs):
         hs, traj = hybrid_driver.rollout(state.params, hs, seg,
                                          start_step=k * seg)
-        out = _hybrid_stats(traj["t"], traj["qn"], traj["t"],
-                            traj["water_res"], ens_segs[k])
+        out = _hybrid_stats(traj, ens_segs[k])
         h_precc.append(np.asarray(traj["precc"]))
         del traj
         (e2, wmean, seg_sum, diff_sum, qneg, cloudy, qnmax, cold,
@@ -937,7 +966,7 @@ def main(argv=None):
               f"[{time.time() - t_start:.0f}s]", flush=True)
     h_e2 = np.concatenate(h_e2)                  # (steps,)
     h_wmean = np.concatenate(h_wmean)
-    h_seg_sums = np.stack(h_seg_sums)            # (n_segs, B, L)
+    h_seg_sums = np.stack(h_seg_sums)            # (n_segs, V, B, L)
     h_diff_sums = np.stack(h_diff_sums)
     precc_h = np.concatenate(h_precc)
     h_scalars = np.array(h_scalars)
@@ -951,19 +980,24 @@ def main(argv=None):
     growth = np.sqrt(h_e2)
 
     # monthly-MEAN fields from segment sums (f64 accumulation; the
-    # helper is unit-tested equal to trajectory window means)
+    # helper is unit-tested equal to trajectory window means), per gate
+    # variable: axis order (n_win, V, [M,] B, L), V = (t, q1, u)
+    n_v = len(GATE_VARS)
     h_win = D.window_means_from_segment_sums(
-        h_seg_sums, segs_per_win, window)        # (n_win, B, L)
+        h_seg_sums, segs_per_win, window)        # (n_win, V, B, L)
     m_win = D.window_means_from_segment_sums(
-        m_seg_sums, segs_per_win, window)        # (n_win, M, B, L)
-    ens_win = m_win.mean(axis=1)                 # (n_win, B, L)
-    mm_rmse = np.array([D.weighted_rmse(h_win[i][None], ens_win[i][None],
-                                        grid) for i in range(n_win)])
-    mm_floor = np.array([
-        np.mean([D.weighted_rmse(m_win[i, a][None], m_win[i, b][None],
-                                 grid) for a, b in pairs])
-        for i in range(n_win)]) if pairs else np.zeros(n_win)
-    ratios = mm_rmse / np.maximum(mm_floor, 1e-12)
+        m_seg_sums, segs_per_win, window)        # (n_win, V, M, B, L)
+    ens_win = m_win.mean(axis=2)                 # (n_win, V, B, L)
+    mm_rmse = np.array([
+        [D.weighted_rmse(h_win[i, v][None], ens_win[i, v][None], grid)
+         for i in range(n_win)] for v in range(n_v)])      # (V, n_win)
+    mm_floor = (np.array([
+        [np.mean([D.weighted_rmse(m_win[i, v, a][None],
+                                  m_win[i, v, b][None], grid)
+                  for a, b in pairs]) for i in range(n_win)]
+        for v in range(n_v)]) if pairs else np.zeros((n_v, n_win)))
+    ratios_all = mm_rmse / np.maximum(mm_floor, 1e-30)     # (V, n_win)
+    ratios = ratios_all[0]  # T (headline)
     win_inst = [float(np.sqrt(h_e2[i * window:(i + 1) * window].mean()))
                 for i in range(n_win)]
 
@@ -971,7 +1005,10 @@ def main(argv=None):
     q = max(steps // 4, 1)
     g_late, g_mid = growth[-q:].mean(), growth[-2 * q:-q].mean()
     saturating = bool(g_late <= 1.2 * max(g_mid, 1e-12))
-    within_floor = bool(np.all(ratios <= 1.5))
+    # the gate covers every variable in every window (the reference's
+    # T/Q/U monthly panels): a model may track T while drifting in
+    # moisture or momentum -- all three must hold
+    within_floor = bool(np.all(ratios_all <= 1.5))
     verdict = "PASS" if (saturating and within_floor) else "FAIL"
 
     # zonal-mean T bias from the accumulated difference sums
@@ -1051,19 +1088,28 @@ def main(argv=None):
     fig.savefig(os.path.join(figdir, "online_zonal_bias.png"), dpi=120)
     plt.close(fig)
 
-    fig, ax = plt.subplots(figsize=(6, 4))
+    # three panels, one per gate variable -- the layout of the
+    # reference's monthly-online-rmse-visualization.ipynb (T, Q, U)
+    VAR_LABEL = {"t": ("T", "K"), "q1": ("Q", "kg/kg"), "u": ("U", "m/s")}
+    fig, axes = plt.subplots(1, n_v, figsize=(5.5 * n_v, 4))
     xs = np.arange(n_win)
-    ax.bar(xs - 0.18, mm_rmse, width=0.36, color=C_HYBRID, zorder=3,
-           label="hybrid (monthly-mean RMSE)")
-    ax.bar(xs + 0.18, mm_floor, width=0.36, color=C_FLOOR, zorder=3,
-           label="member floor (monthly-mean)")
-    ax.plot(xs, 1.5 * mm_floor, color=C_ENSEMBLE, lw=1.5, ls=":",
-            marker="_", ms=20, label="1.5x floor (criterion)")
-    ax.set_xticks(xs, [f"month {i + 1}\n({win_days:.0f} d)" for i in xs])
-    ax.set_ylabel("weighted T RMSE of monthly means [K]")
-    ax.set_title(f"Monthly online RMSE -- {verdict}")
-    ax.legend(frameon=False)
-    style(ax)
+    for v, ax in enumerate(np.atleast_1d(axes)):
+        name, unit = VAR_LABEL[GATE_VARS[v]]
+        ax.bar(xs - 0.18, mm_rmse[v], width=0.36, color=C_HYBRID,
+               zorder=3, label="hybrid (monthly-mean RMSE)")
+        ax.bar(xs + 0.18, mm_floor[v], width=0.36, color=C_FLOOR,
+               zorder=3, label="member floor (monthly-mean)")
+        ax.plot(xs, 1.5 * mm_floor[v], color=C_ENSEMBLE, lw=1.5, ls=":",
+                marker="_", ms=14, label="1.5x floor (criterion)")
+        step_x = max(n_win // 6, 1)
+        ax.set_xticks(xs[::step_x],
+                      [f"m{i + 1}" for i in xs[::step_x]])
+        ax.set_ylabel(f"weighted {name} RMSE of monthly means [{unit}]")
+        ax.set_title(name)
+        if v == 0:
+            ax.legend(frameon=False, fontsize=8)
+        style(ax)
+    fig.suptitle(f"Monthly online RMSE (T/Q/U gate) -- {verdict}")
     fig.tight_layout()
     fig.savefig(os.path.join(figdir, "online_monthly_rmse.png"), dpi=120)
     plt.close(fig)
@@ -1135,12 +1181,18 @@ def main(argv=None):
         "",
         f"## Verdict: {verdict}",
         "",
-        "Criterion (coupling-grade): every monthly-mean RMSE within "
-        "1.5x the ensemble floor, and instantaneous error growth "
-        "saturating rather than diverging.",
-        f"- monthly-mean RMSE / floor ratios: "
-        + ", ".join(f"{r:.2f}" for r in ratios)
-        + f" (all <= 1.5: {'yes' if within_floor else 'NO'})",
+        "Criterion (coupling-grade): every monthly-mean RMSE of T, Q AND "
+        "U within 1.5x its own ensemble floor (the reference's monthly "
+        "notebook renders all three panels, "
+        "monthly-online-rmse-visualization.ipynb cells 5-7), and "
+        "instantaneous error growth saturating rather than diverging.",
+    ] + [
+        f"- monthly-mean {VAR_LABEL[GATE_VARS[v]][0]} RMSE / floor "
+        f"ratios: " + ", ".join(f"{r:.2f}" for r in ratios_all[v])
+        + (f" (all <= 1.5: "
+           f"{'yes' if bool(np.all(ratios_all[v] <= 1.5)) else 'NO'})")
+        for v in range(n_v)
+    ] + [
         f"- growth saturation: last-quarter mean {g_late:.3f} K vs "
         f"previous-quarter {g_mid:.3f} K "
         f"({'saturating' if saturating else 'DIVERGING'})",
@@ -1149,10 +1201,13 @@ def main(argv=None):
         "|---|---|---|",
         f"| instantaneous noise floor (T RMSE, K) | -- | {floor_inst:.4f} |",
     ]
-    for i in range(n_win):
-        lines.append(
-            f"| month {i + 1} ({win_days:.0f} d) monthly-mean T RMSE (K) | "
-            f"{mm_rmse[i]:.4f} | {mm_floor[i]:.4f} (floor) |")
+    for v in range(n_v):
+        name, unit = VAR_LABEL[GATE_VARS[v]]
+        for i in range(n_win):
+            lines.append(
+                f"| month {i + 1} ({win_days:.0f} d) monthly-mean {name} "
+                f"RMSE ({unit}) | {mm_rmse[v, i]:.4g} | "
+                f"{mm_floor[v, i]:.4g} (floor) |")
     for i in range(n_win):
         lines.append(
             f"| month {i + 1} ({win_days:.0f} d) instantaneous T RMSE (K) | "
@@ -1172,9 +1227,10 @@ def main(argv=None):
         "![monthly rmse](figures/online_monthly_rmse.png)",
         "![precip](figures/online_precip.png)",
         "",
-        "Reading: the monthly-mean RMSE is the reference's actual online "
-        "metric (RMSE of h0 monthly-mean fields vs the MMF ensemble, "
-        "monthly-online-rmse-visualization.ipynb cells 5-7).  Because a "
+        "Reading: the monthly-mean RMSE of T, Q and U is the reference's "
+        "actual online metric (RMSE of h0 monthly-mean fields vs the MMF "
+        "ensemble, monthly-online-rmse-visualization.ipynb cells 5-7 -- "
+        "one panel per variable).  Because a "
         "chaotic system drives any two runs apart to the attractor spread, "
         "the *instantaneous* RMSE saturates at the (large) noise floor for "
         "good and bad models alike; the *monthly-mean* RMSE averages that "
@@ -1193,10 +1249,17 @@ def main(argv=None):
         f.write("\n".join(lines) + "\n")
     print(f"wrote {report} (+4 figures in {figdir}) "
           f"[{time.time() - t_start:.0f}s total]")
-    print(f"verdict: {verdict}  ratios "
-          + " ".join(f"{r:.2f}" for r in ratios))
-    return {"floor": float(np.mean(mm_floor)), "win_rmse": list(mm_rmse),
-            "ratios": list(ratios), "drift": drift_h, "verdict": verdict,
+    for v in range(n_v):
+        print(f"verdict: {verdict}  {VAR_LABEL[GATE_VARS[v]][0]} ratios "
+              + " ".join(f"{r:.2f}" for r in ratios_all[v]))
+    return {"floor": float(np.mean(mm_floor[0])),
+            "win_rmse": list(mm_rmse[0]),
+            "ratios": list(ratios),
+            "ratios_by_var": {GATE_VARS[v]: list(ratios_all[v])
+                              for v in range(n_v)},
+            "floors_by_var": {GATE_VARS[v]: list(mm_floor[v])
+                              for v in range(n_v)},
+            "drift": drift_h, "verdict": verdict,
             "saturating": saturating, "report": report}
 
 

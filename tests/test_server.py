@@ -178,3 +178,58 @@ def test_wire_format_stable():
     hdr = struct.pack("<III", MAGIC, 384, 1405)
     assert len(hdr) == 12
     assert struct.unpack("<I", hdr[:4])[0] == 0x434C4D54
+
+
+def test_c_client_roundtrip(tmp_path):
+    """The compiled C host client (runtime/climclient.c) speaks the wire
+    protocol end to end against a live server running the REAL v2_rh
+    wrapper: same frames a Fortran/C host model would write, no Python on
+    the client side (reference call path: libtorch linked into E3SM,
+    online_testing/README.md section 5)."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = os.path.join(root, "runtime", "climclient")
+    if not os.path.exists(exe):
+        pytest.skip("runtime/climclient not built (no C toolchain)")
+
+    from climsim_tpu.data.synthetic import synthetic_inputs
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.models import build_model
+    from climsim_tpu.norms import load_asset_norms
+    from climsim_tpu.online.wrapper import make_v2rh_wrapper
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v2_rh")
+    stats = load_asset_norms("v2_rh")
+    grid = load_default_grid()
+    model = build_model("mlp_online", spec, hidden=(32,))
+    x = np.asarray(synthetic_inputs(spec, grid.ncol, grid, seed=0),
+                   np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, spec.input_len), np.float32))
+    wrap = make_v2rh_wrapper(model.apply, stats, spec)
+
+    srv = CouplingServer(wrap, params, n_features=spec.input_len,
+                         base_chunk=grid.ncol, max_batch=2 * grid.ncol,
+                         warmup=True)
+    srv.start()
+    try:
+        fin = tmp_path / "in.f32"
+        fout = tmp_path / "out.f32"
+        fin.write_bytes(np.ascontiguousarray(x, "<f4").tobytes())
+        # 20 physics steps over one persistent connection, like a host
+        res = subprocess.run(
+            [exe, "127.0.0.1", str(srv.port), str(fin), str(x.shape[0]),
+             str(x.shape[1]), str(fout), "20"],
+            capture_output=True, text=True, timeout=120)
+        assert res.returncode == 0, res.stderr
+        assert "latency ms" in res.stdout
+        y = np.frombuffer(fout.read_bytes(), "<f4").reshape(
+            x.shape[0], spec.output_len)
+        direct = np.asarray(jax.jit(lambda a: wrap(params, a))(x))
+        np.testing.assert_allclose(y, direct, rtol=1e-5, atol=1e-6)
+        print("C client:", res.stdout.strip())
+    finally:
+        srv.stop()
