@@ -65,18 +65,32 @@ def rng():
 
 
 def _ensure_native_built():
-    """Build the C++ loader once if the toolchain is available."""
+    """Build the C++ loader + C coupling client if the toolchain is
+    available."""
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     so = os.path.join(root, "climsim_tpu", "data", "libclimload.so")
+    client = os.path.join(root, "runtime", "climclient")
     src = os.path.join(root, "runtime")
-    if not os.path.exists(so) and os.path.isdir(src):
+    if (not (os.path.exists(so) and os.path.exists(client))
+            and os.path.isdir(src)):
         try:
             subprocess.run(["make", "-C", src], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            pass  # tests depending on the .so will skip
+            pass  # tests depending on the artifacts will skip
 
 
 _ensure_native_built()
+
+# CI guard: with CLIMSIM_REQUIRE_REFERENCE set, a missing oracle tree is
+# a hard error, never a silent skip of the golden-parity suites
+# (.github/workflows/test.yaml fetches leap-stc/ClimSim and sets this).
+_ref_root = os.environ.get("CLIMSIM_REFERENCE", "/root/reference")
+if (os.environ.get("CLIMSIM_REQUIRE_REFERENCE")
+        and not os.path.isfile(os.path.join(
+            _ref_root, "climsim_utils", "data_utils.py"))):
+    raise RuntimeError(
+        "CLIMSIM_REQUIRE_REFERENCE is set but the oracle tree is missing "
+        f"at {_ref_root} (set CLIMSIM_REFERENCE to the ClimSim checkout)")

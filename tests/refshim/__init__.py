@@ -14,9 +14,14 @@ import os
 import sys
 import types
 
-REFERENCE_DATA_UTILS = "/root/reference/climsim_utils/data_utils.py"
-REFERENCE_EXPANSION = ("/root/reference/online_testing/data_preparation/"
-                       "expand_feature/climsim_adding_input.py")
+# the oracle tree location; CI points this at a pinned-SHA clone of
+# leap-stc/ClimSim (see .github/workflows/test.yaml)
+REFERENCE_ROOT = os.environ.get("CLIMSIM_REFERENCE", "/root/reference")
+REFERENCE_DATA_UTILS = os.path.join(
+    REFERENCE_ROOT, "climsim_utils/data_utils.py")
+REFERENCE_EXPANSION = os.path.join(
+    REFERENCE_ROOT, "online_testing/data_preparation/"
+    "expand_feature/climsim_adding_input.py")
 
 _cache: dict = {}
 

@@ -37,7 +37,9 @@ from climsim_tpu.grid import synthetic_grid
 from climsim_tpu.norms import NormStats, load_asset_norms
 from climsim_tpu.varspec import get_varspec
 
-REF_NORMS = "/root/reference/preprocessing/normalizations"
+from refshim import REFERENCE_ROOT
+
+REF_NORMS = os.path.join(REFERENCE_ROOT, "preprocessing/normalizations")
 
 refmod = load_data_utils()
 pytestmark = pytest.mark.skipif(

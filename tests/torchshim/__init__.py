@@ -37,7 +37,9 @@ import os
 import sys
 import types
 
-REFERENCE_ROOT = "/root/reference"
+# the oracle tree location; CI points this at a pinned-SHA clone of
+# leap-stc/ClimSim (see .github/workflows/test.yaml)
+REFERENCE_ROOT = os.environ.get("CLIMSIM_REFERENCE", "/root/reference")
 UNET_V5_DIR = os.path.join(
     REFERENCE_ROOT, "online_testing/baseline_models/Unet_v5/training")
 UNET_V4_DIR = os.path.join(
