@@ -86,6 +86,35 @@ def window_means_from_segment_sums(seg_sums: np.ndarray,
     return s.sum(axis=1) / window
 
 
+def gate_window_stats(h_win: np.ndarray, m_win: np.ndarray, grid: Grid,
+                      ps=1.0e5):
+    """Per-variable monthly gate statistics from window-mean fields.
+
+    h_win: (n_win, V, B, L) hybrid window means; m_win: (n_win, V, M, B, L)
+    per-member window means (V gate variables, M ensemble members).
+    Returns (mm_rmse, mm_floor, ratios), each (V, n_win): the hybrid's
+    weighted RMSE vs the ensemble mean, the mean pairwise member floor,
+    and their ratio -- the reference's T/Q/U monthly online metric
+    (monthly-online-rmse-visualization.ipynb cells 5-7, one panel per
+    variable).  The coupling-grade PASS criterion is
+    ``np.all(ratios <= 1.5)``: every variable in every window.
+    """
+    import itertools
+
+    n_win, n_v, n_m = h_win.shape[0], h_win.shape[1], m_win.shape[2]
+    pairs = list(itertools.combinations(range(n_m), 2))
+    ens_win = m_win.mean(axis=2)
+    mm_rmse = np.array([
+        [weighted_rmse(h_win[i, v][None], ens_win[i, v][None], grid, ps)
+         for i in range(n_win)] for v in range(n_v)])
+    mm_floor = (np.array([
+        [np.mean([weighted_rmse(m_win[i, v, a][None], m_win[i, v, b][None],
+                                grid, ps) for a, b in pairs])
+         for i in range(n_win)] for v in range(n_v)])
+        if pairs else np.zeros((n_v, n_win)))
+    return mm_rmse, mm_floor, mm_rmse / np.maximum(mm_floor, 1e-30)
+
+
 def ensemble_window_floor(member_trajs, grid: Grid, window: int,
                           ps=1.0e5) -> np.ndarray:
     """Noise floor for the window-mean RMSE: mean pairwise window-mean

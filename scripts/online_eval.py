@@ -72,7 +72,7 @@ STEPS_PER_DAY = 72  # 86400 s / 1200 s
 
 
 def make_oracle_wrapper(spec5, spec4, seed: int = 1,
-                        tend_scale: float = 1.0):
+                        tend_scale: float = 1.0, gain: float = 1.0):
     """The synthetic tendency map as a coupling-contract emulator.
 
     Reimplements data.synthetic.synthetic_targets as a pure jax function
@@ -99,6 +99,16 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
     real online RMSE plots (monthly-online-rmse-visualization.ipynb axes)
     -- instead of the 15 K noise-with-a-relaxation-term of scale 1.0,
     tau = 2 days.
+
+    ``gain`` steepens the tendency map (inside the tanh) WITHOUT raising
+    its amplitude: the state-dependence (Jacobian) of the tendencies
+    scales with gain while outputs stay bounded by the scales above.
+    Chaos requires the tendency Jacobian to beat the relaxation rate;
+    at small tend_scale the gain-1 map is contracting on its attractor
+    (measured: 0.05 K IC perturbations DECAY after spin-up -- the system
+    had no internal variability, so the ensemble floor was an artifact
+    of the shared equilibration transient).  gain > 1 restores sustained
+    chaos at physical amplitude -- the regime the real atmosphere is in.
     """
     import jax.numpy as jnp
 
@@ -157,7 +167,7 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
         xv = xv.at[:, sl_rh].set(jnp.clip(xv[:, sl_rh], 0.0, 1.2))
         z = (xv - jnp.asarray(state["mu"], f32)) \
             / jnp.asarray(state["sd"], f32)
-        core = jnp.tanh(z @ w1j) @ w2j
+        core = jnp.tanh(gain * (z @ w1j)) @ w2j
         y = core * scalej
         # positive-only surface outputs, like the synthetic generator
         return jnp.where(maskj > 0,
@@ -194,7 +204,7 @@ def main(argv=None):
     ap.add_argument("--train-steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--channels", type=int, default=64)
-    ap.add_argument("--tau-days", type=float, default=1.0,
+    ap.add_argument("--tau-days", type=float, default=2.0,
                     help="host-dynamics Newtonian relaxation e-folding")
     ap.add_argument("--diurnal", type=float, default=1.5,
                     help="diurnal T forcing amplitude, K/day at equator")
@@ -229,6 +239,27 @@ def main(argv=None):
     ap.add_argument("--ft-lr", type=float, default=1e-4)
     ap.add_argument("--chunk", type=int, default=200,
                     help="train steps fused per dispatch (lax.scan)")
+    ap.add_argument("--oracle-gain", type=float, default=1.0,
+                    help="steepness of the oracle tendency map (inside "
+                         "the tanh): raises the Jacobian without raising "
+                         "amplitude.  > 1 keeps the physically-rescaled "
+                         "system chaotic on its attractor (sustained "
+                         "internal variability -> a real ensemble floor)")
+    ap.add_argument("--spinup-days", type=float, default=0.0,
+                    help="roll the oracle system this many days from the "
+                         "synthetic IC before the evaluation starts and "
+                         "use the final state as the shared base IC -- "
+                         "the reference's ensemble starts from spun-up "
+                         "E3SM states (on-attractor), not from noise; "
+                         "without spin-up, month-1 windows mostly measure "
+                         "the shared equilibration transient")
+    ap.add_argument("--loss", default="huber",
+                    help="supervised training loss (huber|mse|mae).  A "
+                         "robust loss fits a median-like conditional "
+                         "estimate; when the tendency distribution is "
+                         "skewed that biases the TIME-MEAN tendency -- "
+                         "invisible under a 15 K floor, decisive under a "
+                         "physically-scaled 0.3 K monthly floor")
     ap.add_argument("--dagger-rounds", type=int, default=0,
                     help="DAgger rounds: after supervised training, roll "
                          "the CURRENT hybrid model, collect the states it "
@@ -321,7 +352,7 @@ def main(argv=None):
 
     # ---- 1. oracle "MMF" + shared host dynamics --------------------------
     oracle_wrap, oracle_v5, fit_std = make_oracle_wrapper(
-        spec5, spec4, tend_scale=args.oracle_scale)
+        spec5, spec4, tend_scale=args.oracle_scale, gain=args.oracle_gain)
     x_std = synthetic_inputs(spec5, 4 * ncol, grid, seed=0)
     x_std[:, sl_icol5] = (np.arange(x_std.shape[0]) % ncol + 1)[:, None]
     fit_std(x_std)  # FROZEN: part of the oracle system's definition
@@ -333,6 +364,24 @@ def main(argv=None):
         tau_steps=args.tau_days * STEPS_PER_DAY, lat=grid.lat,
         diurnal_amp_k_per_day=args.diurnal)
     oracle_driver = HybridDriver(oracle_wrap, grid, dyn_forcing=forcing)
+
+    # optional on-attractor spin-up: the evaluation (members + hybrid)
+    # starts from an oracle-equilibrated state instead of the synthetic
+    # IC, exactly as the reference's ensemble starts from spun-up E3SM
+    # states; the absolute forcing step keeps counting through the eval
+    # so the diurnal phase is seamless
+    spin_steps = 0
+    if args.spinup_days > 0:
+        spin_steps = -(-int(round(args.spinup_days * STEPS_PER_DAY))
+                       // seg) * seg
+    s_base = initial_state(x0, grid)
+    for k in range(spin_steps // seg if spin_steps else 0):
+        s_base, _ = oracle_driver.rollout(None, s_base, seg,
+                                          start_step=k * seg)
+    if spin_steps:
+        print(f"spin-up: {spin_steps} oracle steps "
+              f"({spin_steps / STEPS_PER_DAY:.0f} days) "
+              f"[{time.time() - t_start:.0f}s]", flush=True)
 
     # diagnostic weights on device; MUST match the host-side metric path
     w_np = D._weights(grid, ps=1.0e5)
@@ -357,10 +406,10 @@ def main(argv=None):
         # floors).  The host-dynamics knobs (tau, diurnal, oracle scale)
         # are part of the key: stats/params trained under one attractor
         # must never be silently reused under different dynamics.
-        host = (f"_h{args.tau_days:g}-{args.diurnal:g}"
-                if (args.tau_days, args.diurnal) != (1.0, 1.5) else "")
-        osc = (f"_os{args.oracle_scale:g}"
-               if args.oracle_scale != 0.2 else "")
+        # host-dynamics knobs are ALWAYS in the key (a defaults change
+        # must never alias caches produced under different dynamics)
+        host = f"_h{args.tau_days:g}-{args.diurnal:g}"
+        osc = f"_os{args.oracle_scale:g}g{args.oracle_gain:g}"
         tag = (f"o4c{collect_steps}x{args.collect_rollouts}s{stride}"
                f"_j{args.jitter.replace(',', '-')}{host}{osc}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
@@ -374,9 +423,10 @@ def main(argv=None):
         pol = (f"_p{args.polish_steps}"
                + (f"lr{args.polish_lr:g}" if args.polish_lr > 0 else "")
                if args.polish_steps else "")
+        lk = f"_l{args.loss}" if args.loss != "huber" else ""
         cache_params = os.path.join(
             args.cache, f"params_{tag}_ch{args.channels}"
-                        f"_t{args.train_steps}_b{args.batch}{dag}{pol}"
+                        f"_t{args.train_steps}_b{args.batch}{dag}{pol}{lk}"
                         f"_r4.pkl")
         if args.ft_steps > 0:
             cache_ft = os.path.join(
@@ -505,6 +555,7 @@ def main(argv=None):
     tr = recipes.unet_trainer(
         spec5, stats, (xb0, yb0), jax.random.PRNGKey(0),
         steps_per_epoch=max(args.train_steps, 1),
+        loss_kind=args.loss,
         # NOTE: near-constant LR on purpose (default cosine horizon >>
         # run length): A/B'd against decaying over the run -- the decayed
         # model scores better supervised loss but measurably WORSE
@@ -650,7 +701,7 @@ def main(argv=None):
                 tr2 = recipes.unet_trainer(
                     spec5, stats, (xb0, yb0), jax.random.PRNGKey(0),
                     steps_per_epoch=max(args.polish_steps, 1),
-                    lr=args.polish_lr,
+                    lr=args.polish_lr, loss_kind=args.loss,
                     model_kw=dict(model_channels=args.channels,
                                   channel_mult=(1, 2, 2), num_blocks=2,
                                   attn_resolutions=(16,),
@@ -882,16 +933,22 @@ def main(argv=None):
     # pairwise error curves, window sums, drift series and precipitation;
     # the per-segment ensemble-mean trajectory stays in HBM for the
     # hybrid comparison.
+    import dataclasses
+
     M = args.members
     pairs = list(itertools.combinations(range(M), 2))
     mrng = np.random.default_rng(1234)
     member_states = []
     for mi in range(M):
-        xm = x0.copy()
-        if mi > 0:  # perturbed initial conditions (reference: perturbed seeds)
-            xm[:, spec4.input_slices["state_t"]] += \
-                0.05 * mrng.standard_normal((ncol, 60)).astype(np.float32)
-        member_states.append(initial_state(xm, grid))
+        # perturbed initial conditions around the (optionally spun-up)
+        # shared base state (reference: perturbed seeds)
+        if mi > 0:
+            dt_pert = jnp.asarray(
+                0.05 * mrng.standard_normal((ncol, 60)).astype(np.float32))
+            member_states.append(
+                dataclasses.replace(s_base, t=s_base.t + dt_pert))
+        else:
+            member_states.append(s_base)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *member_states)
 
     # the coupling gate covers T, Q and U (the reference's monthly
@@ -915,8 +972,8 @@ def main(argv=None):
     ens_segs = []          # device (n, B, L) per segment (T)
     m_e2, m_wmean, m_seg_sums, m_precc0 = [], [], [], []
     for k in range(n_segs):
-        stacked, traj = oracle_driver.rollout_ensemble(None, stacked, seg,
-                                                       start_step=k * seg)
+        stacked, traj = oracle_driver.rollout_ensemble(
+            None, stacked, seg, start_step=spin_steps + k * seg)
         ens, e2, wmean, seg_sum, precc0 = _member_stats(traj)
         del traj
         ens_segs.append(ens)
@@ -945,12 +1002,12 @@ def main(argv=None):
                 (cloudy & (t < 233.16)).mean(),
                 jnp.abs(wres).mean(), jnp.abs(wres).max())
 
-    hs = initial_state(x0, grid)
+    hs = s_base
     h_e2, h_wmean, h_seg_sums, h_diff_sums, h_precc = [], [], [], [], []
     h_scalars = []
     for k in range(n_segs):
         hs, traj = hybrid_driver.rollout(state.params, hs, seg,
-                                         start_step=k * seg)
+                                         start_step=spin_steps + k * seg)
         out = _hybrid_stats(traj, ens_segs[k])
         h_precc.append(np.asarray(traj["precc"]))
         del traj
@@ -987,16 +1044,8 @@ def main(argv=None):
         h_seg_sums, segs_per_win, window)        # (n_win, V, B, L)
     m_win = D.window_means_from_segment_sums(
         m_seg_sums, segs_per_win, window)        # (n_win, V, M, B, L)
-    ens_win = m_win.mean(axis=2)                 # (n_win, V, B, L)
-    mm_rmse = np.array([
-        [D.weighted_rmse(h_win[i, v][None], ens_win[i, v][None], grid)
-         for i in range(n_win)] for v in range(n_v)])      # (V, n_win)
-    mm_floor = (np.array([
-        [np.mean([D.weighted_rmse(m_win[i, v, a][None],
-                                  m_win[i, v, b][None], grid)
-                  for a, b in pairs]) for i in range(n_win)]
-        for v in range(n_v)]) if pairs else np.zeros((n_v, n_win)))
-    ratios_all = mm_rmse / np.maximum(mm_floor, 1e-30)     # (V, n_win)
+    mm_rmse, mm_floor, ratios_all = D.gate_window_stats(h_win, m_win,
+                                                        grid)  # (V, n_win)
     ratios = ratios_all[0]  # T (headline)
     win_inst = [float(np.sqrt(h_e2[i * window:(i + 1) * window].mean()))
                 for i in range(n_win)]
@@ -1148,7 +1197,10 @@ def main(argv=None):
         "",
         f"- rollout: {steps} steps x {ncol} columns at 1200 s = "
         f"**{days:.0f} simulated days**; windows of {window} steps "
-        f"= {win_days:.0f} days each",
+        f"= {win_days:.0f} days each"
+        + (f"; evaluation starts after a {spin_steps / STEPS_PER_DAY:.0f}"
+           f"-day on-attractor oracle spin-up (the reference's members "
+           f"start from spun-up E3SM states)" if spin_steps else ""),
         f"- U-Net: {args.channels} channels, trained {args.train_steps} "
         f"steps on {n_train_samples} device-resident on-manifold samples "
         f"(oracle-rollout states, stride {stride}; per-row jitter from "

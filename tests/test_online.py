@@ -444,3 +444,30 @@ def test_window_means_from_segment_sums():
     mw = D.window_means_from_segment_sums(m, segs_per_win, window)
     np.testing.assert_allclose(mw[:, 0], win, rtol=0)
     np.testing.assert_allclose(mw[:, 1], rwin, rtol=0)
+
+
+def test_gate_window_stats_requires_all_variables():
+    """The T/Q/U coupling gate: a hybrid that tracks T but drifts in Q
+    must fail.  Constructed fields with known constant offsets make every
+    weighted RMSE exact (uniform error c -> RMSE == |c|)."""
+    from climsim_tpu.eval import online_diags as D
+
+    n_win, n_v, n_m, b, l = 2, 3, 3, GRID.ncol, 60
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(n_win, n_v, b, l))
+    # members: +/- 0.1 around base per variable -> pairwise floor 0.2, 0.2
+    m_win = np.stack([base + off for off in (-0.1, 0.1, -0.1)], axis=2)
+    # hybrid: exact ensemble mean in T and U, 1.0 off in Q
+    ens = m_win.mean(axis=2)
+    h_win = ens.copy()
+    h_win[:, 1] += 1.0
+    mm_rmse, mm_floor, ratios = D.gate_window_stats(h_win, m_win, GRID)
+    assert mm_rmse.shape == (n_v, n_win)
+    # floors: mean pairwise |offset difference| = mean(0.2, 0, 0.2)
+    np.testing.assert_allclose(mm_floor, 0.2 * 2 / 3, atol=1e-9)
+    np.testing.assert_allclose(mm_rmse[0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(mm_rmse[1], 1.0, atol=1e-9)
+    np.testing.assert_allclose(mm_rmse[2], 0.0, atol=1e-9)
+    assert np.all(ratios[0] <= 1.5) and np.all(ratios[2] <= 1.5)
+    assert np.all(ratios[1] > 1.5)      # Q drift alone must fail the gate
+    assert not bool(np.all(ratios <= 1.5))
