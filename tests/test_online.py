@@ -205,6 +205,8 @@ def test_online_eval_flow(tmp_path):
     spec.loader.exec_module(mod)
     out = mod.main(["--steps", "4", "--window", "2", "--train-steps", "4",
                     "--batch", "64", "--channels", "8",
+                    "--spinup-days", "0",  # production default 180 d is
+                    # a chip-scale cost; the tiny CPU flow skips it
                     # exercise every optional training phase of the real
                     # recipe: DAgger, jitter-free polish (fresh low-LR
                     # Adam), and the tendency-correction path
