@@ -81,7 +81,8 @@ STEPS_PER_DAY = 72  # 86400 s / 1200 s
 
 
 def make_oracle_wrapper(spec5, spec4, seed: int = 1,
-                        tend_scale: float = 1.0, gain: float = 1.0):
+                        tend_scale: float = 1.0, gain: float = 1.0,
+                        mean_gain: float = 0.0):
     """The synthetic tendency map as a coupling-contract emulator.
 
     Reimplements data.synthetic.synthetic_targets as a pure jax function
@@ -118,6 +119,22 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
     had no internal variability, so the ensemble floor was an artifact
     of the shared equilibration transient).  gain > 1 restores sustained
     chaos at physical amplitude -- the regime the real atmosphere is in.
+
+    ``mean_gain`` adds a SYSTEMATIC (state-independent) component to the
+    T / q1 / u tendencies, ``mean_gain x scale x`` a smooth vertical
+    profile -- the analog of the MMF physics' mean heating / drying /
+    drag, which in the real atmosphere is larger than its anomalies and
+    is balanced by dynamics.  The caller must shift the host relaxation
+    target by ``-tau x mean`` (returned as the 4th value, per-second
+    units) so the TRUE system's attractor stays at the climatology while
+    a hybrid whose emulator misses the mean physics equilibrates
+    ``tau x mean`` away from it.  This is what makes the monthly gate
+    DISCRIMINATIVE: without it the stand-in physics is pure mean-zero
+    anomaly dynamics, monthly means are pinned by the shared relaxation,
+    and even an untrained (random-init) emulator passes (measured:
+    ratios 0.90-1.04 at mean_gain 0 -- docs/ONLINE_TUNING.md).  With it,
+    omitting the physics costs a bias of several floors (the real MMF's
+    behavior: remove convection and the climate drifts).
     """
     import jax.numpy as jnp
 
@@ -159,6 +176,36 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
         if var_len(v) == 1:
             scal_mask[spec5.output_slices[v]] = 1.0
 
+    # systematic physics: smooth vertical mean-tendency profiles on the
+    # HOST-RELAXED variables only (t, q1, u) -- anything else would drift
+    # the unrelaxed state components without bound in the oracle system
+    # itself.  Signs: heating + drying aloft (convection), low-level
+    # momentum drag; q's mean is NEGATIVE so the shifted relaxation
+    # target (clim - tau*mean) stays positive at every level.
+    sig = (np.arange(60) + 0.5) / 60.0
+    mean_vec = np.zeros(d_out)
+    mean_prof = {}  # per-second units, for the caller's target shift
+    if mean_gain > 0.0:
+        # MMF physics is inactive in the stratosphere -- the reference
+        # zeroes the top strato_lev_out=15 output levels outright
+        # (online/wrapper.py post_mask; climsim_unet's output prune), so
+        # a systematic tendency there would be both unphysical and
+        # UNREPRESENTABLE by the production wrapper: measured, leaving it
+        # in biases the coupled run 2-4x the floor at every variable even
+        # after a converged fit (docs/ONLINE_TUNING.md).  Smoothstep the
+        # mean in over levels 15-23.
+        lev = np.arange(60)
+        taper = 0.5 - 0.5 * np.cos(
+            np.pi * np.clip((lev - 15) / 8.0, 0.0, 1.0))
+        prof_t = np.sin(np.pi * sig) * taper
+        prof_q = -np.sin(np.pi * sig) * taper
+        prof_u = -np.sin(np.pi * sig) * sig * taper  # drag peaks low
+        for v, p in (("ptend_t", prof_t), ("ptend_q0001", prof_q),
+                     ("ptend_u", prof_u)):
+            m = mean_gain * scale[spec5.output_slices[v]] * p
+            mean_vec[spec5.output_slices[v]] = m
+            mean_prof[v] = m
+
     state = {"mu": None, "sd": None}
 
     def fit_standardizer(x5_raw):
@@ -169,6 +216,7 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
     f32 = jnp.float32  # keep the scan carry f32 even under jax_enable_x64
     w1j, w2j = jnp.asarray(w1, f32), jnp.asarray(w2, f32)
     scalej, maskj = jnp.asarray(scale, f32), jnp.asarray(scal_mask, f32)
+    meanj = jnp.asarray(mean_vec, f32)
 
     def oracle_v5(x5_raw):
         xv = x5_raw.astype(f32)
@@ -177,7 +225,7 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
         z = (xv - jnp.asarray(state["mu"], f32)) \
             / jnp.asarray(state["sd"], f32)
         core = jnp.tanh(gain * (z @ w1j)) @ w2j
-        y = core * scalej
+        y = core * scalej + meanj  # anomalies + systematic physics
         # positive-only surface outputs, like the synthetic generator
         return jnp.where(maskj > 0,
                          jnp.maximum(y + 2.0 * scalej, 0.0), y)
@@ -199,7 +247,7 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
             + [y5[:, sl5[v]] for v in spec5.outputs if var_len(v) == 1],
             axis=1).astype(jnp.float32)
 
-    return wrapper, oracle_v5, fit_standardizer
+    return wrapper, oracle_v5, fit_standardizer, mean_prof
 
 
 def main(argv=None):
@@ -255,6 +303,17 @@ def main(argv=None):
                          "amplitude.  > 1 keeps the physically-rescaled "
                          "system chaotic on its attractor (sustained "
                          "internal variability -> a real ensemble floor)")
+    ap.add_argument("--oracle-mean", type=float, default=3.0,
+                    help="systematic mean-tendency component of the "
+                         "oracle physics, in units of the anomaly scale "
+                         "(the MMF physics' mean heating/drying/drag, "
+                         "balanced by a -tau*mean shift of the host "
+                         "relaxation target).  Makes the monthly gate "
+                         "discriminative: a model that misses the mean "
+                         "physics equilibrates tau*mean (~3 floors) off "
+                         "the climate and FAILS; 0 restores the "
+                         "anomaly-only system (measured: even an "
+                         "untrained model passes there)")
     ap.add_argument("--spinup-days", type=float, default=180.0,
                     help="roll the oracle system this many days from the "
                          "synthetic IC before the evaluation starts and "
@@ -327,6 +386,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from climsim_tpu import physics
     from climsim_tpu.data.synthetic import synthetic_inputs
     from climsim_tpu.eval import online_diags as D
     from climsim_tpu.grid import load_default_grid
@@ -361,16 +421,28 @@ def main(argv=None):
               f"seg {args.seg}->{seg} ({n_win} windows x {window})")
 
     # ---- 1. oracle "MMF" + shared host dynamics --------------------------
-    oracle_wrap, oracle_v5, fit_std = make_oracle_wrapper(
-        spec5, spec4, tend_scale=args.oracle_scale, gain=args.oracle_gain)
+    oracle_wrap, oracle_v5, fit_std, mean_prof = make_oracle_wrapper(
+        spec5, spec4, tend_scale=args.oracle_scale, gain=args.oracle_gain,
+        mean_gain=args.oracle_mean)
     x_std = synthetic_inputs(spec5, 4 * ncol, grid, seed=0)
     x_std[:, sl_icol5] = (np.arange(x_std.shape[0]) % ncol + 1)[:, None]
     fit_std(x_std)  # FROZEN: part of the oracle system's definition
 
     x0 = synthetic_inputs(spec4, ncol, grid, seed=3)
     s_clim = initial_state(x0, grid)
+    # the host dynamics BALANCES the systematic physics: relaxation target
+    # shifted by -tau*mean so the true system's attractor sits at the
+    # climatology while a mean-physics-less hybrid equilibrates tau*mean
+    # away from it (see make_oracle_wrapper)
+    tau_sec = args.tau_days * STEPS_PER_DAY * physics.DT_TIMESTEP
+    clim_t = np.asarray(s_clim.t) - tau_sec * mean_prof.get(
+        "ptend_t", np.zeros(60))
+    clim_q1 = np.asarray(s_clim.q1) - tau_sec * mean_prof.get(
+        "ptend_q0001", np.zeros(60))
+    clim_u = np.asarray(s_clim.u) - tau_sec * mean_prof.get(
+        "ptend_u", np.zeros(60))
     forcing = newtonian_relaxation(
-        np.asarray(s_clim.t), np.asarray(s_clim.q1), np.asarray(s_clim.u),
+        clim_t, clim_q1, clim_u,
         tau_steps=args.tau_days * STEPS_PER_DAY, lat=grid.lat,
         diurnal_amp_k_per_day=args.diurnal)
     oracle_driver = HybridDriver(oracle_wrap, grid, dyn_forcing=forcing)
@@ -413,6 +485,8 @@ def main(argv=None):
         # must never alias caches produced under different dynamics)
         host = f"_h{args.tau_days:g}-{args.diurnal:g}"
         osc = f"_os{args.oracle_scale:g}g{args.oracle_gain:g}"
+        if args.oracle_mean > 0:
+            osc += f"m{args.oracle_mean:g}t"  # t = strato-tapered profiles
         tag = (f"o4c{collect_steps}x{args.collect_rollouts}s{stride}"
                f"_j{args.jitter.replace(',', '-')}{host}{osc}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
@@ -1206,7 +1280,11 @@ def main(argv=None):
         "emulator (the MMF stand-in; real E3SM output replaces it "
         "unchanged).  All runs share the same prescribed host dynamics "
         f"(Newtonian relaxation, tau = {args.tau_days:g} days, + "
-        f"{args.diurnal:g} K/day diurnal cycle), as the real host model "
+        f"{args.diurnal:g} K/day diurnal cycle"
+        + (f", target shifted -tau x mean to balance the oracle's "
+           f"systematic physics, mean_gain {args.oracle_mean:g}"
+           if args.oracle_mean > 0 else "")
+        + "), as the real host model "
         "is shared between MMF and hybrid runs.  Produced by "
         "`python scripts/online_eval.py`.",
         "",
