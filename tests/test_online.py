@@ -224,6 +224,57 @@ def test_online_eval_flow(tmp_path):
         assert os.path.exists(str(tmp_path / "figures" / f)), f
 
 
+def test_oracle_systematic_mean_contract():
+    """The discriminative-gate oracle (scripts/online_eval.py
+    make_oracle_wrapper, mean_gain > 0) must (a) leave the pruned top-15
+    output levels mean-free (the production wrapper can't represent a
+    tendency there -- online/wrapper.py post-mask, matching the
+    reference ClimsimUnet v5 output prune), (b) shift the expected
+    tendency of T/q1/u by exactly the returned per-second profiles, and
+    (c) keep q's systematic drying non-positive so the shifted
+    relaxation target clim - tau*mean stays positive."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec_l = importlib.util.spec_from_file_location(
+        "online_eval_mod", os.path.join(root, "scripts", "online_eval.py"))
+    mod = importlib.util.module_from_spec(spec_l)
+    spec_l.loader.exec_module(mod)
+
+    from climsim_tpu.data.synthetic import synthetic_inputs
+
+    spec5, spec4 = get_varspec("v5"), get_varspec("v4")
+    grid = load_default_grid()
+
+    out = {}
+    for g in (0.0, 3.0):
+        wrap, oracle_v5, fit_std, prof = mod.make_oracle_wrapper(
+            spec5, spec4, tend_scale=0.1, gain=64.0, mean_gain=g)
+        x = synthetic_inputs(spec5, 4 * grid.ncol, grid, seed=0)
+        x[:, spec5.input_slices["icol"]] = (
+            np.arange(x.shape[0]) % grid.ncol + 1)[:, None]
+        fit_std(x)
+        out[g] = np.asarray(oracle_v5(jnp.asarray(x))), prof
+    y0, prof0 = out[0.0]
+    y3, prof3 = out[3.0]
+
+    assert prof0 == {}  # mean_gain 0 is the anomaly-only system
+    assert set(prof3) == {"ptend_t", "ptend_q0001", "ptend_u"}
+    for v, p in prof3.items():
+        sl = spec5.output_slices[v]
+        # (a) zero through the pruned stratosphere, nonzero below
+        np.testing.assert_array_equal(p[:15], 0.0)
+        assert np.abs(p[24:]).max() > 0
+        # (b) the oracle's output shifts by exactly the profile
+        # (identical anomaly term at both gains: same seed/weights/stats)
+        np.testing.assert_allclose(
+            y3[:, sl] - y0[:, sl], np.broadcast_to(p, y0[:, sl].shape),
+            atol=1e-7)
+    # (c) drying: shifted q target clim - tau*mean >= clim everywhere
+    assert (prof3["ptend_q0001"] <= 0).all()
+
+
 def test_online_diagnostics():
     from climsim_tpu.eval import online_diags as D
 
