@@ -176,7 +176,13 @@ def report(name, wall, rows, flops, loss, note):
                vs_north_star=round(NORTH_STAR_S * 16 / s_epoch, 1),
                loss=round(loss, 5), note=note)
     print(json.dumps(row), flush=True)
+    if _JSONL:  # stream rows so a chip-tunnel drop loses no measurements
+        with open(_JSONL, "a") as f:
+            f.write(json.dumps(row) + "\n")
     return row
+
+
+_JSONL = None
 
 
 def main(argv=None):
@@ -185,7 +191,15 @@ def main(argv=None):
                     help="comma list; order = run order")
     ap.add_argument("--out", default=os.path.join(_REPO, "docs",
                                                   "BENCH_EPOCHS.md"))
+    ap.add_argument("--jsonl", default="/tmp/bench_epochs.jsonl",
+                    help="append each measured row here as it lands")
+    ap.add_argument("--prior", default=None,
+                    help="seed results from a prior run's --jsonl file "
+                         "(dedup by model name, new rows win)")
     args = ap.parse_args(argv)
+
+    global _JSONL
+    _JSONL = args.jsonl
 
     import jax
 
@@ -229,6 +243,16 @@ def main(argv=None):
                           fac, spec_name, batch, pool, results)
         print(f"  [{name}: {time.time() - t0:.0f}s incl. data+compile, "
               f"{time.time() - t_all:.0f}s total]", flush=True)
+
+    if args.prior:
+        fresh = {r["model"] for r in results}
+        prior = [json.loads(ln) for ln in open(args.prior)
+                 if ln.strip()]
+        results = [r for r in prior if r["model"] not in fresh] + results
+        order = {m: i for i, m in enumerate(
+            ["MLP", "ED", "HSR", "cVAE", "RPN x32", "CNN",
+             "U-Net v5 (128ch)"])}
+        results.sort(key=lambda r: order.get(r["model"], 99))
 
     lines = [
         "# Measured full-epoch wall-clocks (one chip)",
