@@ -59,7 +59,7 @@ def _sync(tree):
 
 
 def bench_generic(name, make_trainer, spec_name, batch, pool_rows,
-                  results):
+                  results, chunk_epochs=None):
     import jax
 
     from climsim_tpu.data.pipeline import DeviceResidentLoader
@@ -90,19 +90,32 @@ def bench_generic(name, make_trainer, spec_name, batch, pool_rows,
     ca = cost_analysis(tr.train_step, tr.state, x[:batch], y[:batch])
     step_flops = ca.get("flops", 0.0)
 
-    run.precompile(tr.state, k)             # timed call has zero compile
+    # One multi-minute dispatch trips the dev tunnel's per-RPC watchdog
+    # ("TPU worker process crashed", observed on the ~9-min CNN epoch run).
+    # Slow models run ceil(k/c) dispatches of c fused epochs instead; the
+    # calls enqueue asynchronously (one sync at the end), so the chunking
+    # costs host-side key stacking only, not a per-chunk round-trip.
+    c = min(chunk_epochs or k, k)
+    n_chunks = -(-k // c)
+    k = n_chunks * c                        # overshoot; report() normalizes
+
+    run.precompile(tr.state, c)             # timed calls have zero compile
     t0 = time.perf_counter()
-    state, m = run(tr.state, k)
+    state, m = tr.state, None
+    for _ in range(n_chunks):
+        state, m = run(state, c)
     loss = float(jax.device_get(m["loss"][-1]))  # host sync
     wall = time.perf_counter() - t0
 
     rows = k * spe * batch
     row = report(name, wall, rows, step_flops * k * spe, loss,
-                 f"batch {batch}, pool {pool_rows} rows, {k} fused epochs")
+                 f"batch {batch}, pool {pool_rows} rows, {k} fused epochs"
+                 + (f" in {n_chunks} dispatches" if n_chunks > 1 else ""))
     results.append(row)
 
 
-def bench_rpn(results, ensemble=32, batch=1024, pool_rows=524288):
+def bench_rpn(results, ensemble=32, batch=1024, pool_rows=262144,
+              mode="auto"):
     """RPN: one epoch = every member sees >= EPOCH bootstrap rows (the
     reference trains each of the 32 members on a full bootstrap resample
     of the split -- rpn_model_v1_data.py).  Bootstrap indices are drawn
@@ -128,36 +141,80 @@ def bench_rpn(results, ensemble=32, batch=1024, pool_rows=524288):
     _sync(yd)
     n = pool_rows
     steps = -(-EPOCH // batch)
+    # chunked dispatches for the same tunnel-watchdog reason as
+    # bench_generic; the key rides the carry so chunks continue the
+    # same bootstrap stream
+    chunk = 1280
+    n_chunks = -(-steps // chunk)
+    steps = n_chunks * chunk                # overshoot; report() normalizes
 
-    def body(carry, _):
+    # the pool rides as jit ARGUMENTS, never closure captures: a captured
+    # device array is embedded in the lowered HLO as a constant, and the
+    # dev tunnel's remote-compile endpoint rejects/drops the hundreds-of-
+    # MB request (HTTP 413 / broken pipe) -- same convention as
+    # DeviceResidentLoader.make_epoch_runner
+    def body(carry, _, xs, ys):
         params, opt_state, key = carry
         key, k1 = jax.random.split(key)
         idx = jax.random.randint(k1, (ensemble, batch), 0, n)
         params, opt_state, losses = tr.train_step(
-            params, opt_state, tr.prior, xd[idx], yd[idx])
+            params, opt_state, tr.prior, xs[idx], ys[idx])
         return (params, opt_state, key), losses.mean()
 
     @jax.jit
-    def run(params, opt_state, key):
-        (params, opt_state, _), ls = jax.lax.scan(
-            body, (params, opt_state, key), None, length=steps)
-        return params, opt_state, ls[-1]
+    def run(params, opt_state, key, xs, ys):
+        (params, opt_state, key), ls = jax.lax.scan(
+            lambda c, _: body(c, _, xs, ys),
+            (params, opt_state, key), None, length=chunk)
+        return params, opt_state, key, ls[-1]
 
     idx0 = jnp.zeros((ensemble, batch), jnp.int32)
     ca = cost_analysis(tr.train_step, tr.params, tr.opt_state, tr.prior,
                        xd[idx0], yd[idx0])
     step_flops = ca.get("flops", 0.0)
 
+    @jax.jit
+    def step1(params, opt_state, key, xs, ys):
+        (params, opt_state, key), loss = body((params, opt_state, key),
+                                              None, xs, ys)
+        return params, opt_state, key, loss
+
     key = jax.random.PRNGKey(7)
-    run.lower(tr.params, tr.opt_state, key).compile()
+    try:
+        if mode == "step":
+            raise jax.errors.JaxRuntimeError("rpn mode=step requested")
+        run.lower(tr.params, tr.opt_state, key, xd, yd).compile()
+        fused = True
+    except jax.errors.JaxRuntimeError as e:
+        # the bare train_step compiles remotely (cost_analysis above just
+        # did), but the scan-wrapped program's compile exceeds the dev
+        # tunnel's RPC window (broken pipe ~7 min in, observed 3x); fall
+        # back to per-step async dispatch of the jitted body -- honest,
+        # modestly dispatch-bound at ~ms step times
+        print(f"  [RPN scan compile failed ({str(e).splitlines()[-1]}); "
+              "falling back to per-step dispatch]", flush=True)
+        step1.lower(tr.params, tr.opt_state, key, xd, yd).compile()
+        fused = False
+        steps = -(-EPOCH // batch)          # no chunk overshoot needed
+
     t0 = time.perf_counter()
-    params, opt_state, last = run(tr.params, tr.opt_state, key)
+    params, opt_state, last = tr.params, tr.opt_state, None
+    if fused:
+        for _ in range(n_chunks):
+            params, opt_state, key, last = run(params, opt_state, key,
+                                               xd, yd)
+    else:
+        for _ in range(steps):
+            params, opt_state, key, last = step1(params, opt_state, key,
+                                                 xd, yd)
     loss = float(jax.device_get(last))
     wall = time.perf_counter() - t0
     row = report(f"RPN x{ensemble}", wall, steps * batch,
                  step_flops * steps, loss,
                  f"batch {batch}/member, {ensemble} members, "
-                 f"on-device bootstrap")
+                 "on-device bootstrap, "
+                 + (f"{n_chunks} dispatches" if fused
+                    else "per-step dispatch"))
     results.append(row)
 
 
@@ -196,6 +253,11 @@ def main(argv=None):
     ap.add_argument("--prior", default=None,
                     help="seed results from a prior run's --jsonl file "
                          "(dedup by model name, new rows win)")
+    ap.add_argument("--rpn-mode", default="auto",
+                    choices=["auto", "step"],
+                    help="'step' skips the fused-scan compile attempt "
+                         "(it exceeds the dev tunnel's RPC window) and "
+                         "benches RPN with per-step dispatch directly")
     args = ap.parse_args(argv)
 
     global _JSONL
@@ -213,42 +275,67 @@ def main(argv=None):
     want = [m.strip() for m in args.models.split(",") if m.strip()]
 
     cfg = {
-        # (trainer factory, spec, batch, resident pool rows); batches are
-        # the measured-best production sizes (docs/PERFORMANCE.md sweeps)
+        # (trainer factory, spec, batch, resident pool rows, chunk epochs);
+        # batches are the measured-best production sizes
+        # (docs/PERFORMANCE.md sweeps).  chunk = fused epochs per dispatch
+        # sized so one dispatch stays ~15-40 s (None = whole run in one);
+        # multi-minute single dispatches crash the dev tunnel's worker.
         "MLP": (lambda s, st, sb, r: recipes.mlp_trainer(
             s, st, sb, r, hidden=(768, 640, 512, 640, 640),
-            steps_per_epoch=1000), "v1", 32768, 524288),
+            steps_per_epoch=1000), "v1", 32768, 524288, None),
         "ED": (lambda s, st, sb, r: recipes.ed_trainer(
-            s, st, sb, r, steps_per_epoch=1000), "v1", 32768, 524288),
+            s, st, sb, r, steps_per_epoch=1000), "v1", 32768, 524288, None),
         "HSR": (lambda s, st, sb, r: recipes.hsr_trainer(
-            s, st, sb, r), "v1", 16384, 524288),
+            s, st, sb, r), "v1", 16384, 524288, None),
         "cVAE": (lambda s, st, sb, r: recipes.cvae_trainer(
-            s, st, sb, r), "v1", 16384, 524288),
+            s, st, sb, r), "v1", 16384, 524288, None),
         "CNN": (lambda s, st, sb, r: recipes.cnn_trainer(
-            s, st, sb, r, steps_per_epoch=1000), "v1", 4096, 262144),
+            s, st, sb, r, steps_per_epoch=1000), "v1", 4096, 262144, 2),
         "UNet": (lambda s, st, sb, r: recipes.unet_trainer(
             s, st, sb, r, steps_per_epoch=1000,
             model_kw=dict(model_channels=128, channel_mult=(1, 2, 2, 2),
                           num_blocks=4, attn_resolutions=(8,),
                           output_prune=True, strato_lev_out=15)),
-            "v5", 4096, 32768),
+            "v5", 4096, 32768, 16),
     }
     for name in want:
         t0 = time.time()
-        if name == "RPN":
-            bench_rpn(results)
+        # The dev chip is attached over a tunnel whose remote-compile
+        # endpoint drops long-lived connections (broken pipe mid-compile,
+        # observed on the ~7-min RPN compile).  The drop is transient --
+        # retry the whole model bench (the compile cache makes retries
+        # cheaper) and on persistent failure move on so the remaining
+        # models still get measured; streamed --jsonl rows survive.
+        for attempt in range(3):
+            try:
+                if name == "RPN":
+                    bench_rpn(results, mode=args.rpn_mode)
+                else:
+                    fac, spec_name, batch, pool, chunk = cfg[name]
+                    bench_generic(
+                        name if name != "UNet" else "U-Net v5 (128ch)",
+                        fac, spec_name, batch, pool, results,
+                        chunk_epochs=chunk)
+                break
+            except jax.errors.JaxRuntimeError as e:
+                print(f"  [{name}: attempt {attempt + 1} failed: "
+                      f"{str(e).splitlines()[-1]}]", flush=True)
+                time.sleep(20)
         else:
-            fac, spec_name, batch, pool = cfg[name]
-            bench_generic(name if name != "UNet" else "U-Net v5 (128ch)",
-                          fac, spec_name, batch, pool, results)
+            print(f"  [{name}: giving up after 3 attempts]", flush=True)
         print(f"  [{name}: {time.time() - t0:.0f}s incl. data+compile, "
               f"{time.time() - t_all:.0f}s total]", flush=True)
 
     if args.prior:
         fresh = {r["model"] for r in results}
-        prior = [json.loads(ln) for ln in open(args.prior)
-                 if ln.strip()]
-        results = [r for r in prior if r["model"] not in fresh] + results
+        # the prior file may itself hold several rows per model (report()
+        # appends across resumed runs) -- keep only the newest of each
+        prior = {}
+        for ln in open(args.prior):
+            if ln.strip():
+                r = json.loads(ln)
+                prior[r["model"]] = r
+        results = [r for m, r in prior.items() if m not in fresh] + results
         order = {m: i for i, m in enumerate(
             ["MLP", "ED", "HSR", "cVAE", "RPN x32", "CNN",
              "U-Net v5 (128ch)"])}
@@ -259,13 +346,14 @@ def main(argv=None):
         "",
         "One true 10,091,520-sample epoch per model (the low-res "
         "dataset volume) through the production device-resident fused "
-        "training path, timed as a single AOT-precompiled call on the "
+        "training path, timed as AOT-precompiled dispatches on the "
         "attached TPU v5e chip -- measurements, not projections.  "
         "`vs north star` = the BASELINE.md target (all six baselines "
-        "< 10 min on v5e-16 => 62.5 s/model/chip-equivalent) divided by "
-        "the measured s/epoch: > 1 means faster than target on ONE chip "
-        "(before any multi-chip scaling).  Produced by "
-        "`python scripts/bench_all.py`.",
+        "< 10 min on v5e-16 => 100 s per model) divided by the measured "
+        "s/epoch, demanding the 16-chip budget of ONE chip -- no "
+        "multi-chip credit is taken, so > 1 here means the target is met "
+        "with a 16x margin before data-parallel scaling even starts.  "
+        "Produced by `python scripts/bench_all.py`.",
         "",
         "| model | s / epoch | samples/s | TFLOP/s | MFU (bf16 peak) | "
         "vs north star | note |",
@@ -277,6 +365,22 @@ def main(argv=None):
             f"{r['samples_per_s']:,.0f} | {r['tflops']:.2f} | "
             f"{100 * r['mfu']:.1f}% | {r['vs_north_star']:.1f}x | "
             f"{r['note']} |")
+    six = ["MLP", "ED", "HSR", "cVAE", "RPN x32", "CNN"]
+    have = {r["model"]: r["s_per_epoch"] for r in results}
+    if all(m in have for m in six):
+        total = sum(have[m] for m in six)
+        lines += [
+            "",
+            f"**Six-baseline total on ONE chip: {total:.0f} s** -- the "
+            "north star budgets 600 s for all six on a v5e-16; "
+            + (f"measured at {total:.0f} s on a single chip, the target "
+               f"is met with zero multi-chip scaling ({600 / total:.1f}x "
+               "margin before the data axis even shards)."
+               if total < 600 else
+               f"a single chip measures {total:.0f} s, so meeting it "
+               f"needs only {total / 600:.1f} chips of data-parallel "
+               "scaling on the 16-chip mesh."),
+        ]
     lines += [
         "",
         "MFU counts the train step's XLA-reported FLOPs only (the "

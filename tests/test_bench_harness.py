@@ -36,9 +36,11 @@ def test_prior_merge_dedup_and_order(tmp_path):
 
     fresh = tmp_path / "fresh.jsonl"
     with open(fresh, "w") as f:
-        # this run re-measured MLP (should win) and added RPN + U-Net
-        for m, s in [("U-Net v5 (128ch)", 500.0), ("MLP", 2.3),
-                     ("RPN x32", 60.0)]:
+        # this run re-measured MLP (should win) and added RPN + U-Net;
+        # MLP appears TWICE (report() appends across resumed runs against
+        # the same stream file) -- the newest row must win
+        for m, s in [("U-Net v5 (128ch)", 500.0), ("MLP", 9.1),
+                     ("MLP", 2.3), ("RPN x32", 60.0)]:
             f.write(json.dumps(_row(m, s, note="fresh")) + "\n")
 
     out = tmp_path / "table.md"
@@ -46,25 +48,57 @@ def test_prior_merge_dedup_and_order(tmp_path):
     bench_all.main(["--models", "", "--out", str(out),
                     "--jsonl", str(tmp_path / "stream.jsonl"),
                     "--prior", str(fresh)])
-    # the run itself measured nothing; --prior seeded the fresh rows
+    # the run itself measured nothing; --prior seeded the fresh rows,
+    # deduped within the file (one MLP row, the newest)
     txt = out.read_text()
     assert "| MLP |" in txt and "| RPN x32 |" in txt
+    assert txt.count("| MLP |") == 1 and "| MLP | 2.30 |" in txt
 
-    # now merge prior + fresh the way a resumed run does
-    import argparse  # noqa: F401  (documenting: main() owns the CLI)
-    rows = [json.loads(ln) for ln in open(fresh)]
-    fresh_names = {r["model"] for r in rows}
-    merged = [json.loads(ln) for ln in open(prior)
-              if json.loads(ln)["model"] not in fresh_names] + rows
+    # now merge prior + fresh the way a resumed run does (dedup by model,
+    # newest wins, canonical order)
+    rows = {}
+    for f_ in (prior, fresh):
+        for ln in open(f_):
+            r = json.loads(ln)
+            rows[r["model"]] = r
     order = {m: i for i, m in enumerate(
         ["MLP", "ED", "HSR", "cVAE", "RPN x32", "CNN",
          "U-Net v5 (128ch)"])}
-    merged.sort(key=lambda r: order.get(r["model"], 99))
+    merged = sorted(rows.values(), key=lambda r: order.get(r["model"], 99))
 
     names = [r["model"] for r in merged]
     assert names == ["MLP", "HSR", "cVAE", "RPN x32", "U-Net v5 (128ch)"]
     mlp = next(r for r in merged if r["model"] == "MLP")
     assert mlp["note"] == "fresh" and mlp["s_per_epoch"] == 2.3
+
+
+def test_transient_failure_retry_and_continue(tmp_path, monkeypatch):
+    """The dev tunnel drops long remote compiles (broken pipe mid-RPN,
+    observed twice); main() must retry a model on JaxRuntimeError and,
+    if it keeps failing, move on so later models still get measured."""
+    import jax
+
+    calls = []
+
+    def fake_bench(name, fac, spec, batch, pool, results,
+                   chunk_epochs=None):
+        calls.append(name)
+        if name == "MLP" and calls.count("MLP") < 3:
+            raise jax.errors.JaxRuntimeError("transport: Broken pipe")
+        if name == "ED":  # persistent failure: must not kill the run
+            raise jax.errors.JaxRuntimeError("transport: Broken pipe")
+        results.append(_row(name, 1.0, note="fresh"))
+
+    monkeypatch.setattr(bench_all, "bench_generic", fake_bench)
+    monkeypatch.setattr(bench_all.time, "sleep", lambda s: None)
+    out = tmp_path / "table.md"
+    bench_all.main(["--models", "MLP,ED,HSR", "--out", str(out),
+                    "--jsonl", str(tmp_path / "stream.jsonl")])
+
+    # MLP: 2 failures + 1 success; ED: 3 failures then gave up; HSR ran
+    assert calls.count("MLP") == 3 and calls.count("ED") == 3
+    txt = out.read_text()
+    assert "| MLP |" in txt and "| HSR |" in txt and "| ED |" not in txt
 
 
 def test_jsonl_streaming(tmp_path, monkeypatch):
