@@ -40,6 +40,11 @@ def _dense(w, b):
     return {"kernel": np.asarray(w).T.copy(), "bias": np.asarray(b).copy()}
 
 
+def _dense_keras(w, b):
+    # Keras kernels are already (in, out) -- no transpose, unlike torch
+    return {"kernel": np.asarray(w).copy(), "bias": np.asarray(b).copy()}
+
+
 def _conv(w, b):
     return {"Conv_0": {"kernel": np.asarray(w).transpose(2, 1, 0).copy(),
                        "bias": np.asarray(b).copy()}}
@@ -151,15 +156,19 @@ def _port_unet_block(state: dict, prefix: str) -> dict:
 
 
 def port_climsim_unet(state: dict, channel_mult=(1, 2, 2, 2),
-                      num_blocks: int = 4, seq_resolution: int = 64) -> dict:
+                      num_blocks: int = 4, seq_resolution: int = 64,
+                      skip_conv: bool = False) -> dict:
     """Unet_v{4,5}/training/climsim_unet.py state_dict ->
     models.unet.ClimSimUNet params.
 
     The target ClimSimUNet must be built with the reference-parity flags
-    (norm1_act=False, resample_proj=True, attn_heads=1, skip_conv matching
-    the checkpoint).  Frozen identity skip-convs (climsim_unet.py:211-218,
-    the skip_conv=False default) are verified to be identity and dropped --
-    they are exact no-ops.
+    (norm1_act=False, resample_proj=True, attn_heads=1) and ``skip_conv``
+    matching this call.  With ``skip_conv=False`` (the reference default,
+    climsim_unet.py:211-218: frozen at identity) every skip conv is
+    verified to be identity and dropped -- an exact no-op; a non-identity
+    weight raises, because a skip_conv=False target has nowhere to hold
+    it.  With ``skip_conv=True`` every skip conv is ported, identity or
+    not -- the target expects a ``skipconv{i}`` for each skip.
     """
     params: dict = {"emb_loc": np.asarray(state["emb_loc"]).copy()}
     for level in range(len(channel_mult)):
@@ -193,22 +202,21 @@ def port_climsim_unet(state: dict, channel_mult=(1, 2, 2, 2),
     params["out_conv"] = _conv(state[f"dec_aux_conv.{res0}_aux_conv.weight"],
                                state[f"dec_aux_conv.{res0}_aux_conv.bias"])
 
-    # trainable skip convs (skip_conv=True checkpoints) port to
-    # IdentityConv modules; frozen-identity ones are dropped after checking
     i = 0
-    ported_skips = {}
     while f"skip_conv_layer.{i}.weight" in state:
         w = np.asarray(state[f"skip_conv_layer.{i}.weight"])  # (C, C, 1)
         b = np.asarray(state[f"skip_conv_layer.{i}.bias"])
-        if (np.array_equal(w[:, :, 0], np.eye(w.shape[0], dtype=w.dtype))
-                and not b.any()):
-            i += 1
-            continue
-        ported_skips[f"skipconv{i}"] = {
-            "Conv_0": {"kernel": w.transpose(2, 1, 0).copy(),
-                       "bias": b.copy()}}
+        if skip_conv:
+            params[f"skipconv{i}"] = {
+                "Conv_0": {"kernel": w.transpose(2, 1, 0).copy(),
+                           "bias": b.copy()}}
+        elif not (np.array_equal(w[:, :, 0],
+                                 np.eye(w.shape[0], dtype=w.dtype))
+                  and not b.any()):
+            raise ValueError(
+                f"skip_conv_layer.{i} is not identity but the target is "
+                "skip_conv=False; port with skip_conv=True")
         i += 1
-    params.update(ported_skips)
     return params
 
 
@@ -221,12 +229,12 @@ def port_keras_mlp(dense_weights: list) -> dict:
     """hpo_baseline_v1.py trial model -> models.mlp.ClimSimMLP params.
     dense_weights: trunk layers..., pre-head, linear head, relu head."""
     *trunk, prehead, out_lin, out_relu = dense_weights
-    params = {"MLPTrunk_0": {f"Dense_{i}": _dense(np.asarray(w).T, b)
+    params = {"MLPTrunk_0": {f"Dense_{i}": _dense_keras(w, b)
                              for i, (w, b) in enumerate(trunk)}}
-    params["prehead"] = _dense(np.asarray(prehead[0]).T, prehead[1])
+    params["prehead"] = _dense_keras(*prehead)
     params["LinReluHead_0"] = {
-        "out_linear": _dense(np.asarray(out_lin[0]).T, out_lin[1]),
-        "out_relu": _dense(np.asarray(out_relu[0]).T, out_relu[1]),
+        "out_linear": _dense_keras(*out_lin),
+        "out_relu": _dense_keras(*out_relu),
     }
     return params
 
@@ -235,11 +243,11 @@ def port_keras_ed(enc_weights: list, dec_weights: list) -> dict:
     """ClimSIM_ED_1_3_train.py ED -> models.ed.EncoderDecoder params."""
     assert len(dec_weights) >= 2
     params = {
-        "encoder": {f"Dense_{i}": _dense(np.asarray(w).T, b)
+        "encoder": {f"Dense_{i}": _dense_keras(w, b)
                     for i, (w, b) in enumerate(enc_weights)},
-        "decoder": {f"Dense_{i}": _dense(np.asarray(w).T, b)
+        "decoder": {f"Dense_{i}": _dense_keras(w, b)
                     for i, (w, b) in enumerate(dec_weights[:-1])},
-        "out": _dense(np.asarray(dec_weights[-1][0]).T, dec_weights[-1][1]),
+        "out": _dense_keras(*dec_weights[-1]),
     }
     return params
 

@@ -353,7 +353,8 @@ def _unet_pair(version: str, **overrides):
         strato_lev_out=15, **REF_PARITY_UNET)
     params = _f64(migrate.port_climsim_unet(
         _np_state(ref), channel_mult=tuple(kw["channel_mult"]),
-        num_blocks=kw["num_blocks"], seq_resolution=kw["seq_resolution"]))
+        num_blocks=kw["num_blocks"], seq_resolution=kw["seq_resolution"],
+        skip_conv=kw["skip_conv"]))
     rng = np.random.default_rng(6)
     x = rng.standard_normal((2, spec.input_len))
     x[:, -1] = [17.0, 212.0]  # icol in 1..384
@@ -383,6 +384,31 @@ def test_unet_forward_parity(version):
         np.testing.assert_allclose(y, y_ref, rtol=1e-7, atol=1e-10)
         sl_v = spec.output_slices["ptend_v"]
         assert (y_ref[:, sl_v.start:sl_v.start + 15] == 0).all()
+
+
+@pytest.mark.slow
+def test_unet_skip_conv_parity():
+    """skip_conv=True checkpoints port every skip conv -- including ones
+    still at their identity init (the reference initializes trainable skip
+    convs to identity, climsim_unet.py:211-218), which an identity-keyed
+    drop would silently omit from the target's expected skipconv{i} set."""
+    ref, mine, params, x, spec = _unet_pair("v5", skip_conv=True)
+    n_skips = sum(1 for k in params if k.startswith("skipconv"))
+    assert n_skips > 0
+    tmpl = mine.init(jax.random.key(0), jnp.asarray(x[:1]))["params"]
+    _check_port(tmpl, params)
+    with torch.no_grad(), _promote_matmul():
+        y_ref = ref(torch.tensor(x)).numpy()
+    y = np.asarray(mine.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-7, atol=1e-10)
+    # and the skip_conv=False port refuses a checkpoint it cannot hold
+    state = _np_state(ref)
+    key = next(k for k in state if k.startswith("skip_conv_layer")
+               and k.endswith(".weight"))
+    state[key] = state[key] + 0.5
+    with pytest.raises(ValueError, match="skip_conv=True"):
+        migrate.port_climsim_unet(state, channel_mult=(1, 2, 2, 2),
+                                  num_blocks=2, skip_conv=False)
 
 
 @pytest.mark.slow
@@ -458,10 +484,11 @@ def test_keras_ed_parity(keras_f64):
     y_ref = np.asarray(ref(x), np.float64)
     y = np.asarray(mine.apply({"params": params}, jnp.asarray(x)))
     # the cached ED model may have been built at f32 if another test built
-    # it first; compare at the weaker of the two precisions
+    # it first; compare at the weaker of the two precisions (check the RAW
+    # layer dtypes -- _dense_weights pre-casts its copies to f64)
     tol = dict(rtol=1e-9, atol=1e-11)
-    if any(np.asarray(w).dtype == np.float32
-           for w, _ in ew):  # pragma: no cover
+    if any(w.dtype == np.float32 for layer in enc.layers
+           for w in layer.get_weights()):  # pragma: no cover
         tol = dict(rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(y, y_ref, **tol)
 
