@@ -130,6 +130,10 @@ int main(int argc, char **argv) {
     freeaddrinfo(res);
 
     double *lat = (double *)malloc(repeats * sizeof(double));
+    if (!lat) {
+        fprintf(stderr, "cannot allocate %ld latency slots\n", repeats);
+        return 1;
+    }
     float *y = NULL;
     uint32_t out_rows = 0, out_feats = 0;
     for (long i = 0; i < repeats; i++) {

@@ -80,6 +80,32 @@ C_FLOOR = "#1baf7a"
 STEPS_PER_DAY = 72  # 86400 s / 1200 s
 
 
+def build_balanced_forcing(s_clim, mean_prof, tau_days, diurnal, grid):
+    """Relaxation + diurnal forcing whose target is shifted by -tau*mean.
+
+    The shift BALANCES the oracle's systematic physics: the TRUE
+    (oracle-coupled) system's attractor sits at the climatology ``s_clim``
+    while a hybrid lacking the mean physics equilibrates tau*mean away
+    from it (see make_oracle_wrapper).  This is the gate's core balancing
+    invariant -- the eval (here) and the bias-attribution probe
+    (scripts/probe_mean.py) MUST construct the identical forcing, so it
+    lives in exactly one place.
+    """
+    from climsim_tpu import physics
+    from climsim_tpu.online.driver import newtonian_relaxation
+
+    tau_sec = tau_days * STEPS_PER_DAY * physics.DT_TIMESTEP
+    clim_t = np.asarray(s_clim.t) - tau_sec * mean_prof.get(
+        "ptend_t", np.zeros(60))
+    clim_q1 = np.asarray(s_clim.q1) - tau_sec * mean_prof.get(
+        "ptend_q0001", np.zeros(60))
+    clim_u = np.asarray(s_clim.u) - tau_sec * mean_prof.get(
+        "ptend_u", np.zeros(60))
+    return newtonian_relaxation(
+        clim_t, clim_q1, clim_u, tau_steps=tau_days * STEPS_PER_DAY,
+        lat=grid.lat, diurnal_amp_k_per_day=diurnal)
+
+
 def make_oracle_wrapper(spec5, spec4, seed: int = 1,
                         tend_scale: float = 1.0, gain: float = 1.0,
                         mean_gain: float = 0.0):
@@ -104,11 +130,11 @@ def make_oracle_wrapper(spec5, spec4, seed: int = 1,
     ``tend_scale`` multiplies every output scale.  The climate's
     equilibrium anomaly amplitude is ~tau x tendency amplitude, so this
     knob (with --tau-days) sets the physical magnitude of the stand-in
-    climate: the production default 0.2 with tau = 1 day gives
-    perturbed-IC T floors of O(1 K) -- the magnitude of the reference's
-    real online RMSE plots (monthly-online-rmse-visualization.ipynb axes)
-    -- instead of the 15 K noise-with-a-relaxation-term of scale 1.0,
-    tau = 2 days.
+    climate: the production default 0.1 (with gain 64, tau = 2 days)
+    gives perturbed-IC monthly T floors of O(1 K) -- the magnitude of the
+    reference's real online RMSE plots
+    (monthly-online-rmse-visualization.ipynb axes) -- instead of the 15 K
+    noise-with-a-relaxation-term of scale 1.0.
 
     ``gain`` steepens the tendency map (inside the tanh) WITHOUT raising
     its amplitude: the state-dependence (Jacobian) of the tendencies
@@ -386,14 +412,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from climsim_tpu import physics
     from climsim_tpu.data.synthetic import synthetic_inputs
     from climsim_tpu.eval import online_diags as D
     from climsim_tpu.grid import load_default_grid
     from climsim_tpu.norms import NormStats
     from climsim_tpu.online import wrapper as W
-    from climsim_tpu.online.driver import (HybridDriver, initial_state,
-                                           newtonian_relaxation)
+    from climsim_tpu.online.driver import HybridDriver, initial_state
     from climsim_tpu.online.wrapper import convert_v4_to_v5
     from climsim_tpu.train import recipes
     from climsim_tpu.utils.cache import enable_compile_cache
@@ -430,21 +454,8 @@ def main(argv=None):
 
     x0 = synthetic_inputs(spec4, ncol, grid, seed=3)
     s_clim = initial_state(x0, grid)
-    # the host dynamics BALANCES the systematic physics: relaxation target
-    # shifted by -tau*mean so the true system's attractor sits at the
-    # climatology while a mean-physics-less hybrid equilibrates tau*mean
-    # away from it (see make_oracle_wrapper)
-    tau_sec = args.tau_days * STEPS_PER_DAY * physics.DT_TIMESTEP
-    clim_t = np.asarray(s_clim.t) - tau_sec * mean_prof.get(
-        "ptend_t", np.zeros(60))
-    clim_q1 = np.asarray(s_clim.q1) - tau_sec * mean_prof.get(
-        "ptend_q0001", np.zeros(60))
-    clim_u = np.asarray(s_clim.u) - tau_sec * mean_prof.get(
-        "ptend_u", np.zeros(60))
-    forcing = newtonian_relaxation(
-        clim_t, clim_q1, clim_u,
-        tau_steps=args.tau_days * STEPS_PER_DAY, lat=grid.lat,
-        diurnal_amp_k_per_day=args.diurnal)
+    forcing = build_balanced_forcing(
+        s_clim, mean_prof, args.tau_days, args.diurnal, grid)
     oracle_driver = HybridDriver(oracle_wrap, grid, dyn_forcing=forcing)
 
     # optional on-attractor spin-up: the evaluation (members + hybrid)
@@ -477,8 +488,8 @@ def main(argv=None):
         # o4 = oracle/system revision: o2 fixed the oracle feature view
         # + qn/rh normalization; o3 fixed the segmented-rollout diurnal
         # phase (start_step threading); o4 rescaled the climate to
-        # physical magnitudes (oracle-scale 0.2, tau 1 day -> O(1 K)
-        # floors).  The host-dynamics knobs (tau, diurnal, oracle scale)
+        # physical magnitudes (oracle-scale 0.1, gain 64, tau 2 days ->
+        # O(1 K) floors).  The host-dynamics knobs (tau, diurnal, scale)
         # are part of the key: stats/params trained under one attractor
         # must never be silently reused under different dynamics.
         # host-dynamics knobs are ALWAYS in the key (a defaults change

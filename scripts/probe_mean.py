@@ -28,7 +28,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
-from online_eval import STEPS_PER_DAY, make_oracle_wrapper  # noqa: E402
+from online_eval import (STEPS_PER_DAY, build_balanced_forcing,  # noqa: E402
+                         make_oracle_wrapper)
 
 
 def main():
@@ -53,8 +54,7 @@ def main():
     from climsim_tpu.grid import load_default_grid
     from climsim_tpu.norms import NormStats
     from climsim_tpu.online import wrapper as W
-    from climsim_tpu.online.driver import (HybridDriver, initial_state,
-                                           newtonian_relaxation)
+    from climsim_tpu.online.driver import HybridDriver, initial_state
     from climsim_tpu.train import recipes
     from climsim_tpu.utils.cache import enable_compile_cache
     from climsim_tpu.varspec import get_varspec
@@ -76,15 +76,9 @@ def main():
     x0 = synthetic_inputs(spec4, ncol, grid, seed=3)
     s_clim = initial_state(x0, grid)
     tau_sec = args.tau_days * STEPS_PER_DAY * physics.DT_TIMESTEP
-    clim_t = np.asarray(s_clim.t) - tau_sec * mean_prof.get(
-        "ptend_t", np.zeros(60))
-    clim_q1 = np.asarray(s_clim.q1) - tau_sec * mean_prof.get(
-        "ptend_q0001", np.zeros(60))
-    clim_u = np.asarray(s_clim.u) - tau_sec * mean_prof.get(
-        "ptend_u", np.zeros(60))
-    forcing = newtonian_relaxation(
-        clim_t, clim_q1, clim_u, tau_steps=args.tau_days * STEPS_PER_DAY,
-        lat=grid.lat, diurnal_amp_k_per_day=args.diurnal)
+    # the identical balanced forcing as the eval -- shared constructor
+    forcing = build_balanced_forcing(
+        s_clim, mean_prof, args.tau_days, args.diurnal, grid)
     oracle_driver = HybridDriver(oracle_wrap, grid, dyn_forcing=forcing)
 
     # stats + params from the cached run
