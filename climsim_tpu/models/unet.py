@@ -70,11 +70,20 @@ class Conv1d(nn.Module):
 
 
 def _num_groups(c: int, cap: int = 32) -> int:
-    """Largest divisor of c not exceeding cap (GroupNorm constraint)."""
-    for g in range(min(cap, c), 0, -1):
-        if c % g == 0:
-            return g
-    return 1
+    """Reference-exact GroupNorm group count: min(cap, c // 4), i.e. at
+    least 4 channels per group (layers.py:271-276 GroupNorm
+    min_channels_per_group=4).  At the flagship widths (multiples of 128)
+    this equals the old largest-divisor-of-c rule, but below 128 channels
+    the two diverge (c=64: 16 groups, not 32; c=16: 4, not 16) -- caught
+    by the weight-port gradient-parity test at small widths
+    (test_model_parity.py::test_unet_gradient_parity).  If the reference
+    formula's count does not divide c (widths the reference never builds,
+    where torch GroupNorm would raise), fall back to the largest divisor
+    below it so the layer stays constructible."""
+    g = min(cap, max(c // 4, 1))
+    while c % g:
+        g -= 1
+    return g
 
 
 def _down(x):

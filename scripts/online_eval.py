@@ -501,9 +501,12 @@ def main(argv=None):
         tag = (f"o4c{collect_steps}x{args.collect_rollouts}s{stride}"
                f"_j{args.jitter.replace(',', '-')}{host}{osc}")
         cache_stats = os.path.join(args.cache, f"stats_{tag}.npz")
-        # r2 = training-recipe version (cosine over run length, weighted
-        # amp sampling); bump when the recipe changes so stale params
-        # under the same tag are never reused
+        # r5 = training-recipe/architecture version; bump when either
+        # changes so stale params under the same tag are never reused
+        # (r2 cosine + weighted amp sampling; r4 recipe refresh; r5
+        # reference-exact GroupNorm grouping -- models/unet.py
+        # _num_groups changed for sub-128-channel widths, so r4 params
+        # were trained under a different 64-ch architecture)
         dag = (f"_d{args.dagger_rounds}x{args.dagger_steps}"
                f"c{args.dagger_collect}"
                + ("y" if args.dagger_carry else "")
@@ -515,7 +518,7 @@ def main(argv=None):
         cache_params = os.path.join(
             args.cache, f"params_{tag}_ch{args.channels}"
                         f"_t{args.train_steps}_b{args.batch}{dag}{pol}{lk}"
-                        f"_r4.pkl")
+                        f"_r5.pkl")
         if args.ft_steps > 0:
             cache_ft = os.path.join(
                 args.cache, f"ftparams_{tag}_ch{args.channels}"

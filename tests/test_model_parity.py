@@ -412,6 +412,48 @@ def test_unet_skip_conv_parity():
 
 
 @pytest.mark.slow
+def test_unet_gradient_parity():
+    """Training-path equality: d(MSE)/d(params) of the reference
+    ClimsimUnet equals ClimSimUNet's jax.grad under the same weight port.
+    The port functions are pure layout remaps (transposes + the qkv
+    channel permutation), so they apply verbatim to GRADIENT pytrees --
+    porting torch's named_parameters().grad must reproduce the flax grad
+    tree leaf-for-leaf.  skip_conv=True so every parameter (incl. the
+    skip convs) is trainable on both sides."""
+    ref, mine, params, x, spec = _unet_pair(
+        "v5", skip_conv=True, model_channels=16, num_blocks=1)
+    rng = np.random.default_rng(13)
+    tgt = rng.standard_normal((2, spec.output_len))
+
+    xt = torch.tensor(x)
+    with _promote_matmul():
+        loss_ref = ((ref(xt) - torch.tensor(tgt)) ** 2).mean()
+    loss_ref.backward()
+    grad_state = {k: p.grad.detach().numpy()
+                  for k, p in ref.named_parameters()}
+    ported_grads = _f64(migrate.port_climsim_unet(
+        grad_state, channel_mult=(1, 2, 2, 2), num_blocks=1,
+        skip_conv=True))
+
+    def loss_fn(p):
+        y = mine.apply({"params": p}, jnp.asarray(x))
+        return jnp.mean((y - jnp.asarray(tgt)) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss), float(loss_ref),
+                               rtol=1e-9, atol=1e-12)
+    _check_port(grads, ported_grads)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(ported_grads)
+    flat = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+    # keyed compare (tree defs may order dict keys differently)
+    ref_map = dict(flat_ref)
+    for path, g in flat.items():
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ref_map[path]),
+            rtol=1e-6, atol=1e-10, err_msg=str(path))
+
+
+@pytest.mark.slow
 def test_unet_loc_embedding_off_parity():
     """loc_embedding=False routes every column through embedding row 0
     (climsim_unet.py:295-303); both implementations must agree."""
