@@ -101,8 +101,15 @@ int main(int argc, char **argv) {
         return 2;
     }
     const char *host = argv[1];
-    uint32_t rows = (uint32_t)strtoul(argv[4], NULL, 10);
-    uint32_t feats = (uint32_t)strtoul(argv[5], NULL, 10);
+    char *end_r = NULL, *end_f = NULL;
+    uint32_t rows = (uint32_t)strtoul(argv[4], &end_r, 10);
+    uint32_t feats = (uint32_t)strtoul(argv[5], &end_f, 10);
+    if (!end_r || *end_r || !end_f || *end_f || rows == 0 || feats == 0) {
+        /* rows==0 is the server's error-sentinel shape; never send it */
+        fprintf(stderr, "rows and feats must be positive integers "
+                        "(got '%s' x '%s')\n", argv[4], argv[5]);
+        return 2;
+    }
     long repeats = argc > 7 ? strtol(argv[7], NULL, 10) : 1;
     if (repeats < 1) repeats = 1;
 

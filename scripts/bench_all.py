@@ -219,13 +219,12 @@ def bench_rpn(results, ensemble=32, batch=1024, pool_rows=262144,
 
 
 def report(name, wall, rows, flops, loss, note):
-    import jax
-
-    n_chips = max(len(jax.devices()), 1)
+    # every bench here is an unsharded single-chip program, so MFU is
+    # against ONE chip's peak regardless of how many devices are attached
     s_epoch = wall * EPOCH / rows   # rows >= EPOCH; normalize the (< one
     # batch / partial-epoch) overshoot back to exactly the epoch volume
     tflops = flops / wall / 1e12
-    mfu = flops / wall / (PEAK_BF16 * n_chips)
+    mfu = flops / wall / PEAK_BF16
     row = dict(model=name, s_per_epoch=round(s_epoch, 2),
                wall_s=round(wall, 2), rows=int(rows),
                samples_per_s=round(rows / wall, 1),

@@ -349,7 +349,8 @@ def main(argv=None):
                          "without spin-up, month-1 windows mostly measure "
                          "the shared equilibration transient")
     ap.add_argument("--loss", default="huber",
-                    help="supervised training loss (huber|mse|mae).  A "
+                    choices=("huber", "mse", "mae"),
+                    help="supervised training loss.  A "
                          "robust loss fits a median-like conditional "
                          "estimate; when the tendency distribution is "
                          "skewed that biases the TIME-MEAN tendency -- "
@@ -607,7 +608,12 @@ def main(argv=None):
 
         sub, div, std, qsum, qcnt = (np.array(a) for a in
                                      _norm_stats(x5_dev[:n_norm]))
-        lbd = np.where(qcnt > 0, qcnt / np.maximum(qsum, 1e-300), 1e7)
+        # divide only where cloudy samples exist: np.where evaluates the
+        # divide on EVERY lane first, so qsum entries that are NaN (all-dry
+        # levels never accumulate) raise a spurious RuntimeWarning
+        lbd = np.full(qsum.shape, 1e7, dtype=np.float64)
+        cloudy_lev = qcnt > 0
+        lbd[cloudy_lev] = qcnt[cloudy_lev] / qsum[cloudy_lev]
 
         # production-consistent normalization (the reference's published
         # norm vectors are computed on the TRANSFORMED inputs):

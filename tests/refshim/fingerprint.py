@@ -37,7 +37,14 @@ ORACLE_FILES = [
     "online_testing/baseline_models/Unet_v4/training/layers.py",
     "online_testing/baseline_models/MLP_v2rh/training/mlp.py",
     "baseline_models/HSR/training/hsr.py",
+    "baseline_models/HSR/training/tools.py",       # imported by hsr.py
     "baseline_models/cVAE/training/cvae.py",
+    "baseline_models/cVAE/training/tools.py",      # imported by cvae.py
+    # coupling-wrapper notebooks: test_wrapper_parity.py executes their
+    # NewModel cells as the oracle for the E3SM array contract
+    "online_testing/model_postprocessing/v5_nn_wrapper.ipynb",
+    "online_testing/model_postprocessing/v4_nn_wrapper.ipynb",
+    "online_testing/model_postprocessing/v2_nn_wrapper.ipynb",
     "baseline_models/MLP/training/HPO/baseline_v1/hpo_baseline_v1.py",
     "baseline_models/CNN/training/hpo_train.py",
     "baseline_models/ED/training/ClimSIM_ED_1_3_train.py",
