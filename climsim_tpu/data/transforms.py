@@ -101,8 +101,12 @@ def _zero_mask(spec: VarSpec, cfg: TransformConfig) -> np.ndarray:
         if "cam_in_SNOWHICE" in sl:
             mask[sl["cam_in_SNOWHICE"]] = 0.0
     elif cfg.qinput_prune:
-        zero("state_qn", cfg.strato_lev)
-        zero("state_q0001", 0)  # reference prunes only qn (datapip:139)
+        zero("state_qn", cfg.strato_lev)        # v5 datapip:139
+        # v4/v2 family prunes the separate cloud species instead
+        # (Unet_v4/training/climsim_datapip.py:121-123)
+        zero("state_q0002", cfg.strato_lev)
+        zero("state_q0003", cfg.strato_lev)
+        zero("state_q0001", 0)  # water vapour is never input-pruned
     if cfg.strato_lev_tinput > 0:
         zero("state_t", cfg.strato_lev_tinput)
     return mask
@@ -110,8 +114,10 @@ def _zero_mask(spec: VarSpec, cfg: TransformConfig) -> np.ndarray:
 
 def _clip_bounds(spec: VarSpec, cfg: TransformConfig):
     """Static per-feature clip bounds (lo, hi) as numpy vectors."""
-    lo = np.full(spec.input_len, -np.inf, dtype=np.float32)
-    hi = np.full(spec.input_len, np.inf, dtype=np.float32)
+    # f64 so the bounds stay exact when the transform runs widened for
+    # oracle parity (1.2 rounds to the same float32 either way)
+    lo = np.full(spec.input_len, -np.inf, dtype=np.float64)
+    hi = np.full(spec.input_len, np.inf, dtype=np.float64)
     sl = spec.input_slices
     if "state_rh" in sl:
         lo[sl["state_rh"]], hi[sl["state_rh"]] = 0.0, 1.2
@@ -126,31 +132,40 @@ def _clip_bounds(spec: VarSpec, cfg: TransformConfig):
 
 
 def make_input_transform(spec: VarSpec, stats: NormStats,
-                         cfg: TransformConfig | None = None):
+                         cfg: TransformConfig | None = None,
+                         dtype=jnp.float32):
     """Build a jit-friendly fn raw (B, D_in) -> normalized (B, D_in).
 
     All branching resolves at trace time; the returned callable is pure
     elementwise math (multiply/add/clip) that XLA fuses into one pass.
+    ``qn_transform`` covers BOTH cloud layouts: the combined-qn rate on v5
+    specs (climsim_datapip.py:102) and the separate qc/qi rates on
+    v4/v2-family specs (Unet_v4/training/climsim_datapip.py:80-81),
+    whichever the spec/stats provide.  ``dtype`` widens the whole pipeline
+    (f64 for oracle-parity tests); production stays float32.
     """
     cfg = cfg or TransformConfig()
-    sub = jnp.asarray(stats.inp_sub, dtype=jnp.float32)
-    div_inv = jnp.asarray(1.0 / stats.inp_div, dtype=jnp.float32)
-    mask = jnp.asarray(_zero_mask(spec, cfg))
+    sub = jnp.asarray(stats.inp_sub, dtype=dtype)
+    div_inv = jnp.asarray(1.0 / stats.inp_div, dtype=dtype)
+    mask = jnp.asarray(_zero_mask(spec, cfg), dtype=dtype)
     lo_np, hi_np = _clip_bounds(spec, cfg)
     do_clip = cfg.input_clip and (np.isfinite(lo_np).any()
                                   or np.isfinite(hi_np).any())
-    lo, hi = jnp.asarray(lo_np), jnp.asarray(hi_np)
+    lo, hi = jnp.asarray(lo_np, dtype=dtype), jnp.asarray(hi_np, dtype=dtype)
 
-    qn_sl = spec.input_slices.get("state_qn")
-    use_qn = cfg.qn_transform and qn_sl is not None and stats.lbd_qn is not None
-    if use_qn:
-        lbd = jnp.asarray(stats.lbd_qn, dtype=jnp.float32)
+    cloud_rates = []                 # [(slice, (60,) lambda), ...]
+    if cfg.qn_transform:
+        for name, rate in (("state_qn", stats.lbd_qn),
+                           ("state_q0002", stats.lbd_qc),
+                           ("state_q0003", stats.lbd_qi)):
+            sl = spec.input_slices.get(name)
+            if sl is not None and rate is not None:
+                cloud_rates.append((sl, jnp.asarray(rate, dtype=dtype)))
 
     def transform(x):
-        x = jnp.asarray(x, dtype=jnp.float32)
-        if use_qn:
-            qn = 1.0 - jnp.exp(-x[:, qn_sl] * lbd)
-            x = x.at[:, qn_sl].set(qn)
+        x = jnp.asarray(x, dtype=dtype)
+        for sl, lbd in cloud_rates:
+            x = x.at[:, sl].set(1.0 - jnp.exp(-x[:, sl] * lbd))
         x = (x - sub) * div_inv
         x = jnp.where(jnp.isfinite(x), x, 0.0)
         x = x * mask

@@ -27,6 +27,11 @@ class NormStats:
     inp_div: np.ndarray    # (input_len,)
     out_scale: np.ndarray  # (output_len,)
     lbd_qn: np.ndarray | None = None  # (60,) cloud exp-transform rate (v5)
+    # v4/v2-family separate-cloud rates (qc_exp_lambda_large.txt /
+    # qi_exp_lambda_large.txt; applied by the reference's v4 datapip
+    # climsim_datapip.py:80-81 and v4/v2_nn_wrapper.ipynb preprocessing)
+    lbd_qc: np.ndarray | None = None  # (60,)
+    lbd_qi: np.ndarray | None = None  # (60,)
 
     def __post_init__(self):
         # Zero-range features (constant inputs) would divide by zero; the
@@ -65,15 +70,20 @@ class NormStats:
     @classmethod
     def from_npz(cls, path: str) -> "NormStats":
         z = np.load(path)
-        lbd = z["lbd_qn"] if "lbd_qn" in z.files else None
+
+        def opt(k):
+            return z[k] if k in z.files else None
+
         return cls(inp_sub=z["inp_sub"], inp_div=z["inp_div"],
-                   out_scale=z["out_scale"], lbd_qn=lbd)
+                   out_scale=z["out_scale"], lbd_qn=opt("lbd_qn"),
+                   lbd_qc=opt("lbd_qc"), lbd_qi=opt("lbd_qi"))
 
     def save_npz(self, path: str) -> None:
         kw = dict(inp_sub=self.inp_sub, inp_div=self.inp_div,
                   out_scale=self.out_scale)
-        if self.lbd_qn is not None:
-            kw["lbd_qn"] = self.lbd_qn
+        for k in ("lbd_qn", "lbd_qc", "lbd_qi"):
+            if getattr(self, k) is not None:
+                kw[k] = getattr(self, k)
         np.savez_compressed(path, **kw)
 
     def save_txt(self, save_dir: str) -> None:

@@ -68,6 +68,7 @@ class WrapperConfig:
     strato_lev_out: int = 15        # postprocess zeroing depth
     qn_prune_lev: int = 15          # qn input prune depth
     dt_seconds: float = physics.DT_TIMESTEP
+    dtype: object = jnp.float32     # f64 for oracle-parity testing
 
 
 def make_wrapper(model_apply: Callable, stats: NormStats,
@@ -83,18 +84,18 @@ def make_wrapper(model_apply: Callable, stats: NormStats,
     tcfg = T.TransformConfig(
         qn_transform=True, qinput_prune=True, strato_lev=cfg.qn_prune_lev,
         input_clip=True, input_clip_rhonly=True)
-    in_t = T.make_input_transform(spec5, stats, tcfg)
-    out_scale_inv = jnp.asarray(1.0 / stats.out_scale, jnp.float32)
+    in_t = T.make_input_transform(spec5, stats, tcfg, dtype=cfg.dtype)
+    out_scale_inv = jnp.asarray(1.0 / stats.out_scale, cfg.dtype)
     s = cfg.strato_lev_out
     sl5 = spec5.output_slices
 
-    post_mask = np.ones(spec5.output_len, np.float32)
+    post_mask = np.ones(spec5.output_len, np.float64)
     for v in ("ptend_q0001", "ptend_qn", "ptend_u", "ptend_v"):
         post_mask[sl5[v].start: sl5[v].start + s] = 0.0
-    post_mask_j = jnp.asarray(post_mask)
+    post_mask_j = jnp.asarray(post_mask, cfg.dtype)
 
     def wrapper(params, x_raw):
-        x_raw = x_raw.astype(jnp.float32)
+        x_raw = x_raw.astype(cfg.dtype)
         if cfg.input_version == "v4":
             t_before = x_raw[:, 0:60]
             qc_before = x_raw[:, 120:180]
@@ -126,19 +127,73 @@ def make_wrapper(model_apply: Callable, stats: NormStats,
     return wrapper
 
 
-def make_v2rh_wrapper(model_apply: Callable, stats: NormStats,
-                      spec: VarSpec | None = None) -> Callable:
-    """Wrapper for v2_rh-family online models (MLP_v2rh): normalize in,
-    un-scale out; output already in the 368 contract layout
-    (v2_nn_wrapper.ipynb is the same flow without cloud repartitioning)."""
-    spec = spec or get_varspec("v2_rh")
-    in_t = T.make_input_transform(spec, stats, T.TransformConfig(
-        input_clip=True, input_clip_rhonly=True))
-    out_scale_inv = jnp.asarray(1.0 / stats.out_scale, jnp.float32)
+# Output-zeroing depths the reference's v4/v2 coupling wrappers hardcode
+# for the 368-wide layout (v4_nn_wrapper.ipynb / v2_nn_wrapper.ipynb
+# postprocessing: x[:,60:75], x[:,120:148], x[:,180:195], x[:,240:255],
+# x[:,300:315] -- note liquid cloud is zeroed 28 deep, matching the
+# strato_lev_qc=28 those models train with).
+V4_OUT_ZERO = {"ptend_q0001": 15, "ptend_q0002": 28, "ptend_q0003": 15,
+               "ptend_u": 15, "ptend_v": 15}
+
+
+def _out_zero_mask(spec: VarSpec, depths: dict | None, dtype):
+    mask = np.ones(spec.output_len, np.float64)
+    for v, n in (depths or {}).items():
+        s = spec.output_slices[v].start
+        mask[s: s + n] = 0.0
+    return jnp.asarray(mask, dtype)
+
+
+def make_v4_wrapper(model_apply: Callable, stats: NormStats,
+                    spec: VarSpec | None = None,
+                    tcfg: T.TransformConfig | None = None,
+                    out_zero: dict | None = None,
+                    dtype=jnp.float32) -> Callable:
+    """v4-family coupling wrapper: the host sends the RAW v4 (B, 1525)
+    feature vector, the model consumes it natively (no v5 conversion) and
+    the host receives the RAW 368-wide tendencies with no cloud
+    repartition (v4_nn_wrapper.ipynb NewModel: qc/qi exponential
+    transform -> normalize -> nan/inf->0 -> cloud-input prune -> RH clip
+    -> model -> stratosphere zeroing -> un-scale)."""
+    spec = spec or get_varspec("v4")
+    tcfg = tcfg or T.TransformConfig(
+        qn_transform=True, qinput_prune=True, strato_lev=15,
+        input_clip=True, input_clip_rhonly=True)
+    in_t = T.make_input_transform(spec, stats, tcfg, dtype=dtype)
+    zero = _out_zero_mask(spec, V4_OUT_ZERO if out_zero is None else out_zero,
+                          dtype)
+    out_scale_inv = jnp.asarray(1.0 / stats.out_scale, dtype)
 
     def wrapper(params, x_raw):
-        y = model_apply(params, in_t(x_raw.astype(jnp.float32)))
-        return y * out_scale_inv
+        y = model_apply(params, in_t(x_raw.astype(dtype)))
+        return y * zero * out_scale_inv
+
+    return wrapper
+
+
+def make_v2rh_wrapper(model_apply: Callable, stats: NormStats,
+                      spec: VarSpec | None = None,
+                      tcfg: T.TransformConfig | None = None,
+                      out_zero: dict | None = None,
+                      dtype=jnp.float32) -> Callable:
+    """Wrapper for v2_rh-family online models (MLP_v2rh): normalize in,
+    un-scale out; output already in the 368 contract layout
+    (v2_nn_wrapper.ipynb is the same flow without cloud repartitioning).
+
+    The defaults keep the repo's online models' contract (clip-only: they
+    train without the qc/qi exponential transform).  The reference's
+    published v2 wrapper behavior is ``tcfg`` as in make_v4_wrapper plus
+    ``out_zero=V4_OUT_ZERO`` -- parity-proven against the notebook's own
+    NewModel in tests/test_wrapper_parity.py."""
+    spec = spec or get_varspec("v2_rh")
+    tcfg = tcfg or T.TransformConfig(input_clip=True, input_clip_rhonly=True)
+    in_t = T.make_input_transform(spec, stats, tcfg, dtype=dtype)
+    zero = _out_zero_mask(spec, out_zero, dtype)
+    out_scale_inv = jnp.asarray(1.0 / stats.out_scale, dtype)
+
+    def wrapper(params, x_raw):
+        y = model_apply(params, in_t(x_raw.astype(dtype)))
+        return y * zero * out_scale_inv
 
     return wrapper
 

@@ -190,6 +190,38 @@ def load_mlp_v2rh():
                          _make_modulus_shim())
 
 
+def load_nn_wrapper(version: str = "v5"):
+    """Reference coupling-wrapper class NewModel, extracted from the
+    runnable cell of online_testing/model_postprocessing/
+    {version}_nn_wrapper.ipynb (the cell defining the exact pre/forward/
+    post pipeline E3SM consumes; README.md section 3.1).  version in
+    {"v2", "v4", "v5"}.  Returns the class, or None without the tree."""
+    if not reference_available():
+        return None
+    key = f"_nn_wrapper_{version}"
+    if key in _cache:
+        return _cache[key]
+    import json
+
+    import numpy as np
+    import torch
+
+    path = os.path.join(
+        REFERENCE_ROOT, "online_testing/model_postprocessing",
+        f"{version}_nn_wrapper.ipynb")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        nb = json.load(f)
+    src = next("".join(c["source"]) for c in nb["cells"]
+               if c["cell_type"] == "code"
+               and "class NewModel" in "".join(c["source"]))
+    ns = {"torch": torch, "nn": torch.nn, "np": np}
+    exec(src, ns)  # plain torch; no reference-tree imports in the cell
+    _cache[key] = ns["NewModel"]
+    return ns["NewModel"]
+
+
 def load_hsr():
     """Reference HSR (baseline_models/HSR/training/hsr.py:14-155)."""
     return _load_by_path(os.path.join(HSR_DIR, "hsr.py"), "_ref_hsr",
