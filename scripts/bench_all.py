@@ -100,17 +100,33 @@ def bench_generic(name, make_trainer, spec_name, batch, pool_rows,
     k = n_chunks * c                        # overshoot; report() normalizes
 
     run.precompile(tr.state, c)             # timed calls have zero compile
-    t0 = time.perf_counter()
-    state, m = tr.state, None
-    for _ in range(n_chunks):
-        state, m = run(state, c)
-    loss = float(jax.device_get(m["loss"][-1]))  # host sync
-    wall = time.perf_counter() - t0
+
+    def one_pass(state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n_chunks):
+            state, m = run(state, c)
+        loss = float(jax.device_get(m["loss"][-1]))  # host sync
+        return state, loss, time.perf_counter() - t0
+
+    # The FIRST execution of a freshly-compiled executable on the
+    # tunnel-attached chip pays a large one-time cost (0.5-10 s observed,
+    # scripts/bench_reconcile.py) that a single timing conflates with
+    # device rate -- round 4's 2.27 s MLP "epoch" was really ~0.8 s warm.
+    # Fast models re-run until warm and report the best pass; slow models
+    # (>30 s) amortize the artifact below measurement noise already.
+    state, loss, wall = one_pass(tr.state)
+    passes = 1
+    while wall > 0 and wall < 30.0 and passes < 6:
+        state, loss, w2 = one_pass(state)
+        wall = min(wall, w2)
+        passes += 1
 
     rows = k * spe * batch
     row = report(name, wall, rows, step_flops * k * spe, loss,
                  f"batch {batch}, pool {pool_rows} rows, {k} fused epochs"
-                 + (f" in {n_chunks} dispatches" if n_chunks > 1 else ""))
+                 + (f" in {n_chunks} dispatches" if n_chunks > 1 else "")
+                 + (f", best of {passes} warm passes" if passes > 1 else ""))
     results.append(row)
 
 

@@ -356,6 +356,25 @@ def main(argv=None):
                          "skewed that biases the TIME-MEAN tendency -- "
                          "invisible under a 15 K floor, decisive under a "
                          "physically-scaled 0.3 K monthly floor")
+    ap.add_argument("--scheme", default="regressor",
+                    choices=("regressor", "two_stage"),
+                    help="two_stage = the reference's production v5 "
+                         "configuration: a 3-class per-level cloud "
+                         "classifier gates the regressor's qn tendency "
+                         "(climsim_unet_classifier.py, thresholds from "
+                         "conf/config_single.yaml:63-64).  Class 0 "
+                         "silences spurious drizzle, class 1 evaporates "
+                         "lingering sub-threshold cloud exactly")
+    ap.add_argument("--cls-train-steps", type=int, default=2000,
+                    help="classifier supervised steps (two_stage only)")
+    ap.add_argument("--cls-channels", type=int, default=0,
+                    help="classifier U-Net width; 0 = same as --channels")
+    ap.add_argument("--threshold-class1", type=float, default=1e-9,
+                    help="qn-after-step evaporation threshold [kg/kg] "
+                         "(config_single.yaml:63)")
+    ap.add_argument("--threshold-class2", type=float, default=1e-11,
+                    help="|dqn| zero-tendency threshold [kg/kg/s / "
+                         "(kg/kg)] (config_single.yaml:64)")
     ap.add_argument("--dagger-rounds", type=int, default=0,
                     help="DAgger rounds: after supervised training, roll "
                          "the CURRENT hybrid model, collect the states it "
@@ -483,7 +502,7 @@ def main(argv=None):
     collect_steps = -(-collect_steps // seg) * seg  # round up to segments
 
     # ---- phase caches (all small: norm vectors + params) -----------------
-    cache_stats = cache_params = cache_ft = None
+    cache_stats = cache_params = cache_ft = cache_cls = None
     if args.cache:
         os.makedirs(args.cache, exist_ok=True)
         # o4 = oracle/system revision: o2 fixed the oracle feature view
@@ -526,11 +545,21 @@ def main(argv=None):
                             f"_t{args.train_steps}_b{args.batch}{dag}{pol}"
                             f"_k{args.ft_k}_s{args.ft_steps}"
                             f"_lr{args.ft_lr:g}.pkl")
+        if args.scheme == "two_stage":
+            cache_cls = os.path.join(
+                args.cache,
+                f"clsparams_{tag}_ch{args.cls_channels or args.channels}"
+                f"_t{args.cls_train_steps}_b{args.batch}"
+                f"_th{args.threshold_class1:g}-{args.threshold_class2:g}"
+                f"_r5.pkl")
 
     have_stats = cache_stats and os.path.exists(cache_stats)
     have_params = cache_params and os.path.exists(cache_params)
     have_ft = (args.ft_steps == 0) or (cache_ft and os.path.exists(cache_ft))
-    need_collection = not (have_stats and have_params and have_ft)
+    have_cls = (args.scheme != "two_stage") or (
+        cache_cls and os.path.exists(cache_cls))
+    need_collection = not (have_stats and have_params and have_ft
+                           and have_cls)
 
     # ---- 2. device-resident on-manifold training set ---------------------
     # Oracle rollouts collected ON DEVICE: every stride-th step's raw v4
@@ -546,7 +575,7 @@ def main(argv=None):
     # stats+params cached but the ft stage not: only the (much smaller)
     # fine-tune IC pool is needed -- collect just rollout 0 and skip the
     # multi-GB bf16 training set entirely
-    full_collect = not (have_stats and have_params)
+    full_collect = not (have_stats and have_params and have_cls)
     if need_collection:
         to_v5_bf16 = jax.jit(lambda x4: convert_v4_to_v5(
             x4.reshape(-1, spec4.input_len)).astype(jnp.bfloat16))
@@ -667,6 +696,7 @@ def main(argv=None):
         lambda p, xn: tr.model.apply(p, xn), stats,
         W.WrapperConfig(input_version="v4"))
     hybrid_driver = HybridDriver(hybrid_wrap, grid, dyn_forcing=forcing)
+    xs_train = None
     if have_params:
         with open(cache_params, "rb") as f:
             blob = pickle.load(f)
@@ -831,7 +861,6 @@ def main(argv=None):
                      else "")
                   + f", loss {train_loss:.5f} "
                     f"[{time.time() - t_start:.0f}s]", flush=True)
-        xs_train = None
         if cache_params:
             with open(cache_params, "wb") as f:
                 pickle.dump({"params": jax.tree.map(np.asarray,
@@ -839,6 +868,98 @@ def main(argv=None):
                              "loss": train_loss,
                              "n_samples": n_train_samples}, f)
             print(f"cached params -> {cache_params}")
+    # ---- 4a2. two-stage classifier (the reference's production config) ---
+    # Train the 3-class per-level cloud classifier on the same on-manifold
+    # set with oracle labels (thresholds climsim_datapip_classifier_h5.py:
+    # 118-122 / config_single.yaml:63-64), then gate the regressor's qn
+    # tendency through online/two_stage.py -- the composition the
+    # reference trains in train_unet_h5loader_classifier.py but never
+    # demonstrates coupled.
+    cls_params = None
+    cls_acc = None
+    if args.scheme == "two_stage":
+        cls_tr = recipes.unet_classifier_trainer(
+            spec5, stats, (xb0, yb0), jax.random.PRNGKey(5),
+            steps_per_epoch=max(args.cls_train_steps, 1),
+            model_kw=dict(model_channels=args.cls_channels or args.channels,
+                          channel_mult=(1, 2, 2), num_blocks=2,
+                          attn_resolutions=(16,)),
+            threshold_class1=args.threshold_class1,
+            threshold_class2=args.threshold_class2)
+        if have_cls and cache_cls:
+            with open(cache_cls, "rb") as f:
+                blob = pickle.load(f)
+            cls_params = jax.tree.map(jnp.asarray, blob["params"])
+            cls_acc = blob["acc"]
+            print(f"classifier params: cache hit ({cache_cls}, "
+                  f"acc {cls_acc:.4f})")
+        else:
+            # clean + DAgger-visited rows when the regressor phase left
+            # them alive; the clean collection otherwise (params cached)
+            data = xs_train if xs_train is not None else x5_dev
+            n_data = int(data.shape[0])
+            chunk_len_c = max(1, min(args.chunk, args.cls_train_steps))
+
+            def _cbody(carry, _):
+                st, key, xs = carry
+                key, k1 = jax.random.split(key)
+                idx = jax.random.randint(k1, (args.batch,), 0, n_data)
+                xb = xs[idx].astype(f32)
+                yb = oracle_v5(xb)
+                st, m = cls_tr.train_step(st, xb, yb)
+                return (st, key, xs), (m["loss"], m["accuracy"])
+
+            @jax.jit
+            def _cchunk(st, key, xs):
+                (st, key, xs), (ls, accs) = jax.lax.scan(
+                    _cbody, (st, key, xs), None, length=chunk_len_c)
+                return st, key, ls.mean(), accs.mean()
+
+            ckey = jax.random.PRNGKey(29)
+            cstate, cdone = cls_tr.state, 0
+            while cdone < args.cls_train_steps:
+                cstate, ckey, l, a = _cchunk(cstate, ckey, data)
+                cdone += chunk_len_c
+                cls_acc = float(a)
+                print(f"classifier step "
+                      f"{min(cdone, args.cls_train_steps)}: "
+                      f"ce {float(l):.4f} acc {cls_acc:.4f} "
+                      f"[{time.time() - t_start:.0f}s]", flush=True)
+            cls_params = cstate.params
+            # label-distribution diagnostic: a degenerate split would
+            # make the gate a silent no-op (or silence every cloud)
+            xs_s = data[:args.batch].astype(f32)
+            labs = np.asarray(recipes.classifier_labels(
+                xs_s, oracle_v5(xs_s), spec5, args.threshold_class1,
+                args.threshold_class2))
+            frac = [(labs == c).mean() for c in range(3)]
+            print(f"classifier: acc {cls_acc:.4f}; label fractions "
+                  f"0={frac[0]:.3f} 1={frac[1]:.3f} 2={frac[2]:.3f}")
+            if cache_cls:
+                with open(cache_cls, "wb") as f:
+                    pickle.dump({"params": jax.tree.map(np.asarray,
+                                                        cls_params),
+                                 "acc": cls_acc}, f)
+                print(f"cached classifier params -> {cache_cls}")
+    xs_train = None
+
+    # compose the coupled model for everything downstream (tendency
+    # correction + evaluation): two_stage rolls with (reg, cls) params
+    if args.scheme == "two_stage":
+        from climsim_tpu.online.two_stage import make_two_stage_apply
+
+        if args.ft_steps > 0:
+            raise SystemExit("--ft-steps is not supported with "
+                             "--scheme two_stage (the fine-tuner would "
+                             "descend through the argmax gate)")
+        two = make_two_stage_apply(
+            lambda p, xn: tr.model.apply(p, xn),
+            lambda p, xn: cls_tr.model.apply(p, xn), stats=stats)
+        hybrid_wrap = W.make_wrapper(two, stats,
+                                     W.WrapperConfig(input_version="v4"))
+        hybrid_driver = HybridDriver(hybrid_wrap, grid,
+                                     dyn_forcing=forcing)
+
     # ---- 4b. optional differentiable K-step rollout fine-tune ------------
     # Gradients of a trajectory loss flow through host dynamics + wrapper
     # constraints + K emulator applications (train/rollout_ft.py) -- the
@@ -916,6 +1037,11 @@ def main(argv=None):
                                  "loss_last": ft_loss_last}, f)
                 print(f"cached fine-tuned params -> {cache_ft}")
             del pool_state
+
+    # the parameter pytree every coupled rollout below consumes: the
+    # fine-tune stage (regressor only) has updated state by now
+    roll_params = ((state.params, cls_params)
+                   if args.scheme == "two_stage" else state.params)
 
     # ---- 4c. climatological tendency correction (flux adjustment) --------
     # The trained net still carries a small state-dependent tendency
@@ -998,7 +1124,7 @@ def main(argv=None):
 
             corr_j = jnp.zeros((ncol, 368), f32)
             for it in range(max(args.bias_iters, 1)):
-                pc = (state.params, corr_j)
+                pc = (roll_params, corr_j)
                 xr = x0.copy()
                 xr[:, spec4.input_slices["state_t"]] += \
                     0.1 * brng.standard_normal((ncol, 60)).astype(np.float32)
@@ -1115,7 +1241,7 @@ def main(argv=None):
     h_e2, h_wmean, h_seg_sums, h_diff_sums, h_precc = [], [], [], [], []
     h_scalars = []
     for k in range(n_segs):
-        hs, traj = hybrid_driver.rollout(state.params, hs, seg,
+        hs, traj = hybrid_driver.rollout(roll_params, hs, seg,
                                          start_step=spin_steps + k * seg)
         out = _hybrid_stats(traj, ens_segs[k])
         h_precc.append(np.asarray(traj["precc"]))
@@ -1203,6 +1329,9 @@ def main(argv=None):
 
     figdir = os.path.join(args.out, "figures")
     os.makedirs(figdir, exist_ok=True)
+    # scheme-suffixed figure names so a two_stage run never clobbers the
+    # committed regressor artifacts in the same --out tree
+    fig_sfx = "" if args.scheme == "regressor" else f"_{args.scheme}"
 
     def style(ax):
         ax.grid(True, color="#e6e4df", linewidth=0.6, zorder=0)
@@ -1230,7 +1359,7 @@ def main(argv=None):
     ax.legend(frameon=False)
     style(ax)
     fig.tight_layout()
-    fig.savefig(os.path.join(figdir, "online_error_growth.png"), dpi=120)
+    fig.savefig(os.path.join(figdir, f"online_error_growth{fig_sfx}.png"), dpi=120)
     plt.close(fig)
 
     fig, ax = plt.subplots(figsize=(7, 4))
@@ -1243,7 +1372,7 @@ def main(argv=None):
     ax.set_title("Zonal-mean T bias, hybrid - ensemble mean [K]")
     fig.colorbar(pc, ax=ax, label="bias [K]")
     fig.tight_layout()
-    fig.savefig(os.path.join(figdir, "online_zonal_bias.png"), dpi=120)
+    fig.savefig(os.path.join(figdir, f"online_zonal_bias{fig_sfx}.png"), dpi=120)
     plt.close(fig)
 
     # three panels, one per gate variable -- the layout of the
@@ -1269,7 +1398,7 @@ def main(argv=None):
         style(ax)
     fig.suptitle(f"Monthly online RMSE (T/Q/U gate) -- {verdict}")
     fig.tight_layout()
-    fig.savefig(os.path.join(figdir, "online_monthly_rmse.png"), dpi=120)
+    fig.savefig(os.path.join(figdir, f"online_monthly_rmse{fig_sfx}.png"), dpi=120)
     plt.close(fig)
 
     fig, ax = plt.subplots(figsize=(6, 4))
@@ -1285,7 +1414,7 @@ def main(argv=None):
     ax.legend(frameon=False)
     style(ax)
     fig.tight_layout()
-    fig.savefig(os.path.join(figdir, "online_precip.png"), dpi=120)
+    fig.savefig(os.path.join(figdir, f"online_precip{fig_sfx}.png"), dpi=120)
     plt.close(fig)
 
     # ---- 9. report ----------------------------------------------------------
@@ -1320,6 +1449,17 @@ def main(argv=None):
         f"{{clean, {args.jitter}}} x feature std with labels re-queried "
         f"from the oracle on device; final loss {train_loss:.4f})",
     ] + ([
+        f"- scheme: **two-stage** (the reference's production v5 "
+        f"configuration, climsim_unet_classifier.py): a "
+        f"{args.cls_channels or args.channels}-channel 3-class per-level "
+        f"cloud classifier (trained {args.cls_train_steps} steps, final "
+        f"accuracy {cls_acc:.4f}; thresholds "
+        f"{args.threshold_class1:g}/{args.threshold_class2:g} per "
+        f"config_single.yaml:63-64) gates the regressor's qn tendency: "
+        f"class 0 emits zero, class 1 evaporates the column's cloud "
+        f"exactly, class 2 passes the regression through "
+        f"(online/two_stage.py)"
+    ] if args.scheme == "two_stage" else []) + ([
         f"- DAgger: {args.dagger_rounds} rounds x {args.dagger_collect} "
         f"hybrid-rollout steps collected + {args.dagger_steps} continued "
         f"train steps each (the model trains on the states its own "
@@ -1387,10 +1527,10 @@ def main(argv=None):
         f"| column water residual, mean abs | "
         f"{micro['water_res_meanabs']:.3e} | -- |",
         "",
-        "![error growth](figures/online_error_growth.png)",
-        "![zonal bias](figures/online_zonal_bias.png)",
-        "![monthly rmse](figures/online_monthly_rmse.png)",
-        "![precip](figures/online_precip.png)",
+        f"![error growth](figures/online_error_growth{fig_sfx}.png)",
+        f"![zonal bias](figures/online_zonal_bias{fig_sfx}.png)",
+        f"![monthly rmse](figures/online_monthly_rmse{fig_sfx}.png)",
+        f"![precip](figures/online_precip{fig_sfx}.png)",
         "",
         "Reading: the monthly-mean RMSE of T, Q and U is the reference's "
         "actual online metric (RMSE of h0 monthly-mean fields vs the MMF "
@@ -1415,7 +1555,9 @@ def main(argv=None):
         "series reach the host) -- the evaluation runs at full month "
         "scale even over a slow host link.",
     ]
-    report = os.path.join(args.out, "ONLINE_EVAL.md")
+    report = os.path.join(
+        args.out, "ONLINE_EVAL.md" if args.scheme == "regressor"
+        else f"ONLINE_EVAL_{args.scheme}.md")
     with open(report, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {report} (+4 figures in {figdir}) "
@@ -1431,6 +1573,8 @@ def main(argv=None):
             "floors_by_var": {GATE_VARS[v]: list(mm_floor[v])
                               for v in range(n_v)},
             "drift": drift_h, "verdict": verdict,
+            "scheme": args.scheme, "cls_acc": cls_acc,
+            "micro": micro, "precip": {"hybrid": p_h, "ref": p_r},
             "saturating": saturating, "report": report}
 
 

@@ -114,3 +114,58 @@ def test_vmem_estimate():
     assert est64 < 16 * 1024 * 1024
     est128 = vmem_estimate_bytes((124, 768, 640, 512, 640, 640, 128), 128)
     assert est128 > 16 * 1024 * 1024  # documents the tile ceiling
+
+
+# ---------------------------------------------------------------------------
+# fused GN->silu->conv3 inside the U-Net TRAINING step (fused_gn_conv flag)
+# ---------------------------------------------------------------------------
+
+def test_unet_fused_gn_conv_flag():
+    """ClimSimUNet(fused_gn_conv=True): identical parameter tree to the
+    XLA path (checkpoints interchange), forward equal to bf16-accumulation
+    tolerance, and the custom-VJP backward (XLA-chain recompute) yields
+    gradients close to the all-XLA autodiff."""
+    from climsim_tpu.models.unet import ClimSimUNet
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v5")
+    kw = dict(spec=spec, model_channels=16, channel_mult=(1, 2),
+              num_blocks=1, attn_resolutions=(), seq_resolution=64,
+              dropout=0.0)
+    ref = ClimSimUNet(**kw)
+    fus = ClimSimUNet(fused_gn_conv=True, **kw)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((16, spec.input_len)).astype(np.float32)
+    x[:, -1] = rng.integers(1, 385, 16)
+    params = ref.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    p2 = fus.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(p2)[0]):
+        assert ka == kb and a.shape == b.shape
+
+    y_ref = np.asarray(ref.apply({"params": params}, jnp.asarray(x)))
+    y_fus = np.asarray(fus.apply({"params": params}, jnp.asarray(x)))
+    scale = np.abs(y_ref).max() + 1e-6
+    assert np.abs(y_fus - y_ref).max() / scale < 5e-2  # bf16 accum noise
+
+    tgt = jnp.asarray(rng.standard_normal((16, spec.output_len)),
+                      jnp.float32)
+
+    def loss(model):
+        def f(p):
+            y = model.apply({"params": p}, jnp.asarray(x))
+            return jnp.mean((y - tgt) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(ref))(params)
+    g_fus = jax.grad(loss(fus))(params)
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fus)[0])
+    for path, gr in flat_r:
+        gf = flat_f[path]
+        denom = np.linalg.norm(np.asarray(gr)) + 1e-8
+        rel = np.linalg.norm(np.asarray(gf) - np.asarray(gr)) / denom
+        assert rel < 0.15, (path, rel)  # bf16 fwd vs f32-chain bwd noise

@@ -224,6 +224,34 @@ def test_online_eval_flow(tmp_path):
         assert os.path.exists(str(tmp_path / "figures" / f)), f
 
 
+def test_online_eval_two_stage_flow(tmp_path):
+    """--scheme two_stage: classifier trained on oracle labels, composed
+    through online/two_stage.py, rolled through the same gate; report and
+    figures are scheme-suffixed so they never clobber the regressor
+    artifacts."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "online_eval_ts", os.path.join(root, "scripts", "online_eval.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(["--steps", "4", "--window", "2", "--train-steps", "2",
+                    "--batch", "32", "--channels", "8", "--spinup-days",
+                    "0", "--scheme", "two_stage", "--cls-train-steps", "2",
+                    "--out", str(tmp_path)])
+    assert out["scheme"] == "two_stage"
+    assert np.isfinite(out["cls_acc"]) and 0.0 <= out["cls_acc"] <= 1.0
+    assert out["report"].endswith("ONLINE_EVAL_two_stage.md")
+    assert os.path.exists(out["report"])
+    assert np.isfinite(out["micro"]["frac_negative_qn"])
+    assert os.path.exists(str(
+        tmp_path / "figures" / "online_monthly_rmse_two_stage.png"))
+    txt = open(out["report"]).read()
+    assert "two-stage" in txt and "classifier" in txt
+
+
 def test_oracle_systematic_mean_contract():
     """The discriminative-gate oracle (scripts/online_eval.py
     make_oracle_wrapper, mean_gain > 0) must (a) leave the pruned top-15
