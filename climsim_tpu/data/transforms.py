@@ -159,8 +159,17 @@ def make_input_transform(spec: VarSpec, stats: NormStats,
                            ("state_q0002", stats.lbd_qc),
                            ("state_q0003", stats.lbd_qi)):
             sl = spec.input_slices.get(name)
-            if sl is not None and rate is not None:
-                cloud_rates.append((sl, jnp.asarray(rate, dtype=dtype)))
+            if sl is None:
+                continue
+            if rate is None:
+                # fail loud: silently skipping the transform would deploy
+                # preprocessing the model was never trained on (the exact
+                # failure mode the coupling parity tests exist to prevent)
+                raise ValueError(
+                    f"qn_transform requested but stats carry no lambda for "
+                    f"{name!r} (spec {spec.name!r}); supply NormStats with "
+                    "the trained lbd vector or turn the transform off")
+            cloud_rates.append((sl, jnp.asarray(rate, dtype=dtype)))
 
     def transform(x):
         x = jnp.asarray(x, dtype=dtype)

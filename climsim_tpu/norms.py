@@ -110,19 +110,40 @@ def identity_norms(spec: VarSpec) -> NormStats:
 
 def compute_norms_from_data(spec: VarSpec, inputs: np.ndarray,
                             targets: np.ndarray,
-                            scale_floor: float = 1e-8) -> NormStats:
+                            scale_floor: float = 1e-8,
+                            qn_transform: bool = False) -> NormStats:
     """Compute (mean, max-min, 1/std) stats directly from un-normalized data.
 
     Matches the online norm-generation recipe: input sub/div from per-feature
     mean and range, output scale = 1/std with a lower threshold to avoid
     exploding scales on near-constant outputs (online_testing/
     data_preparation/normalization/{input_scaling,output_scaling}.ipynb).
+
+    ``qn_transform=True`` (pass the training TransformConfig's flag, as
+    run.py does) additionally fits the cloud exponential-transform rates.
     """
     sub = inputs.mean(axis=0, dtype=np.float64)
     div = inputs.max(axis=0).astype(np.float64) - inputs.min(axis=0)
     std = targets.std(axis=0, dtype=np.float64)
     osc = 1.0 / np.maximum(std, scale_floor)
-    return NormStats(inp_sub=sub, inp_div=div, out_scale=osc)
+    # cloud inputs additionally get the exponential-transform rate, and
+    # their sub/div are computed in TRANSFORMED space (the chain applies
+    # 1-exp(-lambda*q) BEFORE normalizing, climsim_datapip.py:80-102) --
+    # so norms=compute yields a complete, chain-consistent NormStats for
+    # any spec (make_input_transform fails loud on a missing lambda)
+    lbds = {}
+    for name, field in (("state_qn", "lbd_qn"), ("state_q0002", "lbd_qc"),
+                        ("state_q0003", "lbd_qi")):
+        sl = spec.input_slices.get(name)
+        if sl is None or not qn_transform:
+            continue
+        q = inputs[:, sl]
+        lbd = compute_exponential_lambda(q)
+        lbds[field] = lbd
+        qt = 1.0 - np.exp(-q.astype(np.float64) * lbd)
+        sub[sl] = qt.mean(axis=0)
+        div[sl] = qt.max(axis=0) - qt.min(axis=0)
+    return NormStats(inp_sub=sub, inp_div=div, out_scale=osc, **lbds)
 
 
 def load_asset_norms(version: str) -> NormStats:

@@ -127,9 +127,16 @@ def fused_gn_silu_conv3(x, gamma, beta, w, b, *, groups: int = 32,
 
 
 def xla_gn_silu_conv3(x, gamma, beta, w, b, *, groups: int = 32,
-                      eps: float = 1e-6, compute_dtype=jnp.bfloat16):
+                      eps: float = 1e-6, compute_dtype=jnp.bfloat16,
+                      f32_accum: bool = True):
     """The identical math as plain XLA ops (the models/unet.py path:
-    f32 GroupNorm -> silu -> bf16 SAME conv, f32 out)."""
+    f32 GroupNorm -> silu -> bf16 SAME conv, f32 out).
+
+    ``f32_accum=True`` accumulates the conv in f32
+    (preferred_element_type); ``False`` uses the production flax-Conv1d
+    casting (bf16 conv OUTPUT cast back to f32) — the conv transpose rule
+    requires matching dtypes, so only the False variant is differentiable
+    with bf16 operands (make_trainable_fused_block's backward)."""
     mean = x.reshape(x.shape[0], x.shape[1], groups, -1).mean(
         axis=(1, 3), keepdims=True)
     var = ((x.reshape(x.shape[0], x.shape[1], groups, -1)
@@ -138,10 +145,15 @@ def xla_gn_silu_conv3(x, gamma, beta, w, b, *, groups: int = 32,
           * jax.lax.rsqrt(var + eps)).reshape(x.shape)
     xn = xn * gamma[None, None, :] + beta[None, None, :]
     xn = jax.nn.silu(xn).astype(compute_dtype)
-    y = jax.lax.conv_general_dilated(
-        xn, w.astype(compute_dtype), (1,), "SAME",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32)
+    if f32_accum:
+        y = jax.lax.conv_general_dilated(
+            xn, w.astype(compute_dtype), (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xn, w.astype(compute_dtype), (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC")).astype(jnp.float32)
     return y + b[None, None, :]
 
 
@@ -163,24 +175,12 @@ def make_trainable_fused_block(groups: int, eps: float = 1e-6,
     """
 
     def _xla(x, gamma, beta, w, b):
-        # same math as xla_gn_silu_conv3 but with the production (flax
-        # Conv1d) casting: bf16 conv OUTPUT cast back to f32 instead of
-        # preferred_element_type=f32.  The conv transpose rule requires
-        # matching dtypes, so the f32-accumulation variant is not
-        # differentiable with bf16 operands; gradients through this chain
-        # are exactly the production XLA path's gradients.
-        mean = x.reshape(x.shape[0], x.shape[1], groups, -1).mean(
-            axis=(1, 3), keepdims=True)
-        var = ((x.reshape(x.shape[0], x.shape[1], groups, -1)
-                - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-        xn = ((x.reshape(x.shape[0], x.shape[1], groups, -1) - mean)
-              * jax.lax.rsqrt(var + eps)).reshape(x.shape)
-        xn = xn * gamma[None, None, :] + beta[None, None, :]
-        xn = jax.nn.silu(xn).astype(compute_dtype)
-        y = jax.lax.conv_general_dilated(
-            xn, w.astype(compute_dtype), (1,), "SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"))
-        return y.astype(jnp.float32) + b[None, None, :]
+        # production (flax Conv1d) casting -> differentiable with bf16
+        # operands; gradients through this chain are exactly the
+        # production XLA path's gradients
+        return xla_gn_silu_conv3(x, gamma, beta, w, b, groups=groups,
+                                 eps=eps, compute_dtype=compute_dtype,
+                                 f32_accum=False)
 
     @jax.custom_vjp
     def f(x, gamma, beta, w, b):

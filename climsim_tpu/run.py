@@ -39,7 +39,8 @@ def load_data(cfg: ExperimentConfig, grid):
     if cfg.data.norms == "asset":
         stats = load_asset_norms(cfg.data.varspec)
     elif cfg.data.norms == "compute":
-        stats = compute_norms_from_data(spec, np.asarray(x), np.asarray(y))
+        stats = compute_norms_from_data(spec, np.asarray(x), np.asarray(y),
+                                        qn_transform=cfg.transform.qn_transform)
     else:
         stats = identity_norms(spec)
     return spec, x, y, stats
@@ -126,17 +127,30 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
     if cfg.train.checkpoint_dir:
         write_manifest(cfg, cfg.train.checkpoint_dir)
 
-    n = x.shape[0]
-    n_val = max(int(n * cfg.data.val_fraction), cfg.data.batch_size) \
-        if cfg.data.val_fraction > 0 else 0
-    x_tr, y_tr = x[: n - n_val], y[: n - n_val]
-    x_val, y_val = x[n - n_val:], y[n - n_val:]
-
     n_dev = cfg.train.num_data_shards or len(jax.devices())
     rules = None
     if n_dev > 1:
         rules = ShardingRules(make_mesh(num_data=n_dev,
                                         devices=jax.devices()[:n_dev]))
+
+    n = x.shape[0]
+    if cfg.data.val_fraction > 0:
+        # hold out at least one full eval batch when the data allows it,
+        # but never more than half the rows (a preset batch_size larger
+        # than a small demo dataset used to swallow the whole train split,
+        # yielding zero training batches)
+        n_val = min(max(int(n * cfg.data.val_fraction), 1,
+                        cfg.data.batch_size), n // 2)
+    else:
+        n_val = 0
+    if cfg.data.batch_size > n - n_val:
+        clamped = max((n - n_val) // n_dev * n_dev, n_dev)
+        if verbose:
+            print(f"batch_size {cfg.data.batch_size} exceeds the "
+                  f"{n - n_val}-row train split; clamping to {clamped}")
+        cfg.data.batch_size = clamped
+    x_tr, y_tr = x[: n - n_val], y[: n - n_val]
+    x_val, y_val = x[n - n_val:], y[n - n_val:]
 
     steps = max(x_tr.shape[0] // cfg.data.batch_size, 1)
     rng = jax.random.PRNGKey(cfg.seed)

@@ -35,17 +35,14 @@ def main():
     # 1. (briefly) train a small coupling-grade model on synthetic pairs;
     # norms computed from the data itself (swap in load_asset_norms("v5")
     # when training on the real dataset)
-    import dataclasses
-
-    from climsim_tpu.norms import (compute_exponential_lambda,
-                                   compute_norms_from_data)
+    from climsim_tpu.norms import compute_norms_from_data
 
     x, y = synthetic_split(spec5, n=4 * 384, grid=grid, seed=0)
     x[:, spec5.input_slices["icol"]] = (
         np.arange(x.shape[0]) % 384 + 1)[:, None]
-    stats = compute_norms_from_data(spec5, x, y)
-    stats = dataclasses.replace(stats, lbd_qn=compute_exponential_lambda(
-        x[:, spec5.input_slices["state_qn"]]))
+    # qn_transform=True fits the cloud exponential-transform rate and
+    # computes the qn sub/div in transformed space (the wrapper chain)
+    stats = compute_norms_from_data(spec5, x, y, qn_transform=True)
     tr = recipes.online_mlp_trainer(spec5, stats, (x, y),
                                     jax.random.PRNGKey(0), hidden=(256,),
                                     steps_per_epoch=args.train_steps)

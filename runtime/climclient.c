@@ -102,14 +102,18 @@ int main(int argc, char **argv) {
     }
     const char *host = argv[1];
     char *end_r = NULL, *end_f = NULL;
-    uint32_t rows = (uint32_t)strtoul(argv[4], &end_r, 10);
-    uint32_t feats = (uint32_t)strtoul(argv[5], &end_f, 10);
-    if (!end_r || *end_r || !end_f || *end_f || rows == 0 || feats == 0) {
+    /* strtol, not strtoul: strtoul silently wraps "-1" to ULONG_MAX */
+    long rows_l = strtol(argv[4], &end_r, 10);
+    long feats_l = strtol(argv[5], &end_f, 10);
+    if (!end_r || *end_r || !end_f || *end_f ||
+        rows_l <= 0 || feats_l <= 0 ||
+        rows_l > UINT32_MAX || feats_l > UINT32_MAX) {
         /* rows==0 is the server's error-sentinel shape; never send it */
         fprintf(stderr, "rows and feats must be positive integers "
                         "(got '%s' x '%s')\n", argv[4], argv[5]);
         return 2;
     }
+    uint32_t rows = (uint32_t)rows_l, feats = (uint32_t)feats_l;
     long repeats = argc > 7 ? strtol(argv[7], NULL, 10) : 1;
     if (repeats < 1) repeats = 1;
 

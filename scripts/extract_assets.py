@@ -68,9 +68,16 @@ def main():
     out_scale_nop = nc_to_dict(os.path.join(
         norm_dir, "outputs", "output_scale_std_nopenalty.nc"))
 
-    lbd_qn = np.loadtxt(os.path.join(norm_dir, "inputs",
-                                     "qn_exp_lambda_large.txt"),
-                        delimiter=",").reshape(-1)
+    def load_lbd(fname):
+        return np.loadtxt(os.path.join(norm_dir, "inputs", fname),
+                          delimiter=",").reshape(-1)
+
+    lbd_qn = load_lbd("qn_exp_lambda_large.txt")
+    # separate-cloud rates for v4/v2-family specs (applied by the
+    # reference's v4 datapip climsim_datapip.py:21-22 and the
+    # v4/v2_nn_wrapper.ipynb preprocessing)
+    lbd_qc = load_lbd("qc_exp_lambda_large.txt")
+    lbd_qi = load_lbd("qi_exp_lambda_large.txt")
 
     # v1 / v2 use the NeurIPS'23 base stats + output_scale.nc
     for ver, (m, mx, mn, sc) in {
@@ -87,6 +94,10 @@ def main():
         stats = NormStats.from_var_datasets(
             spec, m, mx, mn, sc,
             lbd_qn=lbd_qn if "state_qn" in spec.inputs else None)
+        if "state_q0002" in spec.inputs:
+            import dataclasses
+
+            stats = dataclasses.replace(stats, lbd_qc=lbd_qc, lbd_qi=lbd_qi)
         path = os.path.join(ASSET_DIR, f"norms_{ver}.npz")
         stats.save_npz(path)
         print(f"norms_{ver}: in={stats.inp_sub.shape} out={stats.out_scale.shape}")

@@ -424,6 +424,13 @@ def main(argv=None):
                          "trained/fine-tuned params -- all small); a rerun "
                          "resumes after the last completed phase")
     args = ap.parse_args(argv)
+    if args.scheme == "two_stage":
+        # fail at parse time, not after hours of collection + training
+        if args.ft_steps > 0:
+            ap.error("--ft-steps is not supported with --scheme two_stage "
+                     "(the fine-tuner would descend through the argmax gate)")
+        if args.cls_train_steps <= 0:
+            ap.error("--cls-train-steps must be > 0 with --scheme two_stage")
 
     import itertools
     import pickle
@@ -546,12 +553,15 @@ def main(argv=None):
                             f"_k{args.ft_k}_s{args.ft_steps}"
                             f"_lr{args.ft_lr:g}.pkl")
         if args.scheme == "two_stage":
+            # {dag} is part of the key: the classifier trains on the same
+            # DAgger-augmented pool as the regressor, so runs differing in
+            # --dagger-* must not share a cached classifier
             cache_cls = os.path.join(
                 args.cache,
                 f"clsparams_{tag}_ch{args.cls_channels or args.channels}"
                 f"_t{args.cls_train_steps}_b{args.batch}"
                 f"_th{args.threshold_class1:g}-{args.threshold_class2:g}"
-                f"_r5.pkl")
+                f"{dag}_r5.pkl")
 
     have_stats = cache_stats and os.path.exists(cache_stats)
     have_params = cache_params and os.path.exists(cache_params)
@@ -948,10 +958,7 @@ def main(argv=None):
     if args.scheme == "two_stage":
         from climsim_tpu.online.two_stage import make_two_stage_apply
 
-        if args.ft_steps > 0:
-            raise SystemExit("--ft-steps is not supported with "
-                             "--scheme two_stage (the fine-tuner would "
-                             "descend through the argmax gate)")
+        # (--ft-steps incompatibility is rejected at parse time)
         two = make_two_stage_apply(
             lambda p, xn: tr.model.apply(p, xn),
             lambda p, xn: cls_tr.model.apply(p, xn), stats=stats)
@@ -1063,9 +1070,13 @@ def main(argv=None):
         # silently reused for another)
         ft_tag = (f"_ftk{args.ft_k}s{args.ft_steps}lr{args.ft_lr:g}"
                   if args.ft_steps > 0 else "")
+        # the scheme is part of the key too: a correction fitted to the
+        # plain regressor's residuals must not be reused for the
+        # classifier-gated composition (different rollout params)
+        sch_tag = "" if args.scheme == "regressor" else f"_{args.scheme}"
         cache_bc = (cache_params.replace(
-            ".pkl", f"{ft_tag}_bc{args.bias_correct}i{args.bias_iters}"
-                    f"g{args.bias_gain:g}.npz")
+            ".pkl", f"{ft_tag}{sch_tag}_bc{args.bias_correct}"
+                    f"i{args.bias_iters}g{args.bias_gain:g}.npz")
             if cache_params else None)
         bc_mask = np.zeros((1, 368), np.float32)
         bc_mask[:, :360] = 1.0  # ptend_{t,q0001,qc,qi,u,v} x 60 levels

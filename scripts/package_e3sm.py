@@ -29,12 +29,13 @@ the online gate PASSed (docs/ONLINE_EVAL_two_stage.md).
 """
 
 import argparse
+import dataclasses
 import hashlib
 import json
 import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sha256(path: str) -> str:
@@ -105,11 +106,16 @@ def build_bundle(preset: str, ckpt: str | None, out: str, buckets,
             apply = model.apply
         wrap = W.make_wrapper(apply, stats, W.WrapperConfig())
     elif cfg.data.varspec == "v4":
+        # serve with the SAME input chain the preset trains with (a wrapper
+        # whose preprocessing differs from training is a silent contract
+        # violation -- make_input_transform also fails loud on missing
+        # lambdas rather than skipping a requested transform)
         in_spec = spec
-        wrap = W.make_v4_wrapper(model.apply, stats, spec)
+        wrap = W.make_v4_wrapper(model.apply, stats, spec, tcfg=cfg.transform)
     elif cfg.data.varspec == "v2_rh":
         in_spec = spec
-        wrap = W.make_v2rh_wrapper(model.apply, stats, spec)
+        wrap = W.make_v2rh_wrapper(model.apply, stats, spec,
+                                   tcfg=cfg.transform)
     else:
         raise SystemExit(f"preset {preset!r} (varspec {cfg.data.varspec}) "
                          "has no online coupling contract")
@@ -140,6 +146,10 @@ def build_bundle(preset: str, ckpt: str | None, out: str, buckets,
         "n_features": in_spec.input_len,
         "n_outputs": 368,
         "scheme": "two_stage" if cls_ckpt else "regressor",
+        "transform": (
+            "v5_nn_wrapper chain (qn-lambda, prune, clip, repartition)"
+            if cfg.data.varspec == "v5"
+            else dataclasses.asdict(cfg.transform)),
         "untrained": untrained,
         "param_count": int(sum(
             np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))),

@@ -49,6 +49,52 @@ def test_compute_exponential_lambda():
     assert 0.3 < x < 0.9
 
 
+def test_computed_norms_include_cloud_lambdas():
+    """norms=compute with qn_transform must yield a chain-complete
+    NormStats: lambda fitted per cloud input, and that slice's sub/div
+    computed in TRANSFORMED space (the chain applies 1-exp(-lbd*q) BEFORE
+    normalizing, climsim_datapip.py:80-102)."""
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.norms import compute_norms_from_data
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v5")
+    x, y = synthetic_split(spec, 512, load_default_grid(), seed=0)
+    stats = compute_norms_from_data(spec, x, y, qn_transform=True)
+    assert stats.lbd_qn is not None and stats.lbd_qn.shape == (60,)
+    sl = spec.input_slices["state_qn"]
+    qt = 1.0 - np.exp(-x[:, sl].astype(np.float64) * stats.lbd_qn)
+    np.testing.assert_allclose(stats.inp_sub[sl], qt.mean(axis=0), rtol=1e-12)
+    # default (no transform) keeps raw-space stats and no lambda
+    raw = compute_norms_from_data(spec, x, y)
+    assert raw.lbd_qn is None
+    np.testing.assert_allclose(raw.inp_sub[sl],
+                               x[:, sl].mean(axis=0, dtype=np.float64),
+                               rtol=1e-12)
+
+
+def test_requested_transform_without_lambda_fails_loud():
+    """make_input_transform must raise, not silently skip, when the config
+    requests the cloud transform but the stats carry no lambda -- a
+    deployed wrapper silently missing its training preprocessing is the
+    failure mode the coupling parity suite exists to prevent."""
+    import pytest
+
+    from climsim_tpu.data import transforms as T
+    from climsim_tpu.norms import compute_norms_from_data
+    from climsim_tpu.data.synthetic import synthetic_split
+    from climsim_tpu.grid import load_default_grid
+    from climsim_tpu.varspec import get_varspec
+
+    spec = get_varspec("v5")
+    x, y = synthetic_split(spec, 64, load_default_grid(), seed=0)
+    stats = compute_norms_from_data(spec, x, y)  # no lambda fitted
+    with pytest.raises(ValueError, match="state_qn"):
+        T.make_input_transform(spec, stats,
+                               T.TransformConfig(qn_transform=True))
+
+
 def test_h5_multishard_dataset(tmp_path):
     import h5py
 

@@ -27,7 +27,9 @@ def v5data():
     x, y = synthetic_split(spec, n=2 * 384, grid=GRID, seed=1)
     x[:, spec.input_slices["icol"]] = np.tile(
         np.arange(1, 385), 2)[:, None]
-    return spec, x, y, compute_norms_from_data(spec, x, y)
+    # the v5 recipes request the qn transform (v5_online_config); computed
+    # norms must fit the lambda too or make_input_transform fails loud
+    return spec, x, y, compute_norms_from_data(spec, x, y, qn_transform=True)
 
 
 def test_mlp_v2_utls_trainer_learns():

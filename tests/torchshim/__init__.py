@@ -213,9 +213,13 @@ def load_nn_wrapper(version: str = "v5"):
         return None
     with open(path) as f:
         nb = json.load(f)
-    src = next("".join(c["source"]) for c in nb["cells"]
-               if c["cell_type"] == "code"
-               and "class NewModel" in "".join(c["source"]))
+    src = next(("".join(c["source"]) for c in nb["cells"]
+                if c["cell_type"] == "code"
+                and "class NewModel" in "".join(c["source"])), None)
+    if src is None:
+        # notebook restructured upstream: follow the missing-file contract
+        # (callers skip) instead of leaking StopIteration from a fixture
+        return None
     ns = {"torch": torch, "nn": torch.nn, "np": np}
     exec(src, ns)  # plain torch; no reference-tree imports in the cell
     _cache[key] = ns["NewModel"]
