@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Measure coupling-sidecar overhead vs direct in-process calls.
 
-Three numbers at the E3SM chunk size (B=384 columns, v2_rh MLP):
+Four numbers at the E3SM chunk size (B=384 columns, v2_rh MLP):
   1. direct jitted wrapper call latency (the in-process floor),
-  2. served single-client round-trip (adds wire + queue + pad),
-  3. served 4-client concurrent throughput (micro-batch coalescing).
+  2. the same through the PACKAGED StableHLO AOT artifact (the deployable
+     unit scripts/package_e3sm.py ships -- should match the jit floor),
+  3. served single-client round-trip (adds wire + queue + pad),
+  4. served 4-client concurrent throughput (micro-batch coalescing).
 
 Run: python scripts/bench_server.py   (TPU or CPU)
 """
@@ -48,6 +50,20 @@ def main():
         t.append(time.perf_counter() - t0)
     direct_ms = float(np.median(t) * 1e3)
     print(f"direct B=384: {direct_ms:.2f} ms")
+
+    # 1b. the deployable AOT artifact (weights embedded, no model source)
+    from climsim_tpu.online.wrapper import export_aot, load_aot
+
+    aot_fn = load_aot(export_aot(wrap, params, 384, spec.input_len))
+    np.asarray(aot_fn(x))  # warm
+    t = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        np.asarray(aot_fn(x))
+        t.append(time.perf_counter() - t0)
+    aot_ms = float(np.median(t) * 1e3)
+    print(f"AOT artifact B=384: {aot_ms:.2f} ms "
+          f"({aot_ms - direct_ms:+.2f} ms vs jit)")
 
     srv = CouplingServer(wrap, params, n_features=spec.input_len,
                          base_chunk=384, max_batch=6144).start()

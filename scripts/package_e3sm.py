@@ -146,6 +146,8 @@ def build_bundle(preset: str, ckpt: str | None, out: str, buckets,
         "n_features": in_spec.input_len,
         "n_outputs": 368,
         "scheme": "two_stage" if cls_ckpt else "regressor",
+        # jax.export artifacts are platform-bound: serve on this backend
+        "platform": jax.default_backend(),
         "transform": (
             "v5_nn_wrapper chain (qn-lambda, prune, clip, repartition)"
             if cfg.data.varspec == "v5"

@@ -22,6 +22,10 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--bundle",
+                    help="package_e3sm.py output dir; reads metadata.json "
+                    "and serves the artifact for --batch (default: the "
+                    "bundle's smallest bucket)")
     ap.add_argument("--aot", help="StableHLO artifact from export_aot")
     ap.add_argument("--features", type=int,
                     help="input width (required with --aot)")
@@ -33,6 +37,22 @@ def main():
     args = ap.parse_args()
 
     from climsim_tpu.online.server import CouplingServer
+
+    if args.bundle:
+        import json
+        import os
+
+        with open(os.path.join(args.bundle, "metadata.json")) as f:
+            meta = json.load(f)
+        buckets = sorted(a["batch"] for a in meta["artifacts"].values())
+        want = args.batch if args.batch in buckets else buckets[0]
+        if args.batch not in buckets:
+            print(f"bundle has buckets {buckets}; serving b={want}")
+        name = next(n for n, a in meta["artifacts"].items()
+                    if a["batch"] == want)
+        args.aot = os.path.join(args.bundle, name)
+        args.features = meta["n_features"]
+        args.batch = want
 
     if args.aot:
         from climsim_tpu.online.wrapper import load_aot
