@@ -15,9 +15,27 @@ Example:
 """
 
 import argparse
+import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def resolve_bundle(bundle_dir: str, batch: int):
+    """Pick the artifact for `batch` from a package_e3sm.py bundle.
+
+    Returns (aot_path, n_features, bucket).  Falls back to the smallest
+    bucket when `batch` is not one of the bundle's exported buckets."""
+    with open(os.path.join(bundle_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    buckets = sorted(a["batch"] for a in meta["artifacts"].values())
+    want = batch if batch in buckets else buckets[0]
+    if batch not in buckets:
+        print(f"bundle has buckets {buckets}; serving b={want}")
+    name = next(n for n, a in meta["artifacts"].items()
+                if a["batch"] == want)
+    return os.path.join(bundle_dir, name), meta["n_features"], want
 
 
 def main():
@@ -39,20 +57,8 @@ def main():
     from climsim_tpu.online.server import CouplingServer
 
     if args.bundle:
-        import json
-        import os
-
-        with open(os.path.join(args.bundle, "metadata.json")) as f:
-            meta = json.load(f)
-        buckets = sorted(a["batch"] for a in meta["artifacts"].values())
-        want = args.batch if args.batch in buckets else buckets[0]
-        if args.batch not in buckets:
-            print(f"bundle has buckets {buckets}; serving b={want}")
-        name = next(n for n, a in meta["artifacts"].items()
-                    if a["batch"] == want)
-        args.aot = os.path.join(args.bundle, name)
-        args.features = meta["n_features"]
-        args.batch = want
+        args.aot, args.features, args.batch = resolve_bundle(
+            args.bundle, args.batch)
 
     if args.aot:
         from climsim_tpu.online.wrapper import load_aot

@@ -93,3 +93,21 @@ def test_two_stage_v5_bundle(tmp_path):
     lbd = np.loadtxt(os.path.join(out, "lbd_qn.txt"), delimiter=",")
     np.testing.assert_allclose(lbd, load_asset_norms("v5").lbd_qn, rtol=1e-5)
     assert os.path.getsize(os.path.join(out, "wrapper_b4.stablehlo")) > 0
+
+
+def test_serve_bundle_resolution(tmp_path):
+    """serve.py --bundle picks the requested bucket, or falls back to the
+    smallest exported one."""
+    from scripts.serve import resolve_bundle
+
+    out = str(tmp_path / "b")
+    os.makedirs(out)
+    meta = {"n_features": 557,
+            "artifacts": {"wrapper_b4.stablehlo": {"batch": 4},
+                          "wrapper_b16.stablehlo": {"batch": 16}}}
+    with open(os.path.join(out, "metadata.json"), "w") as f:
+        json.dump(meta, f)
+    path, feats, bucket = resolve_bundle(out, 16)
+    assert path.endswith("wrapper_b16.stablehlo") and (feats, bucket) == (557, 16)
+    path, _, bucket = resolve_bundle(out, 999)   # not exported -> smallest
+    assert path.endswith("wrapper_b4.stablehlo") and bucket == 4
