@@ -47,14 +47,27 @@ def _sha256(path: str) -> str:
 
 
 def _load_params(ckpt: str, template):
-    """Checkpoint -> param pytree: orbax dir or save_pytree msgpack."""
+    """Checkpoint -> param pytree.
+
+    Accepts every format the training loop writes: a save_pytree msgpack
+    file, a TopKCheckpointer directory (picks the BEST entry from
+    topk.json), or an orbax checkpoint directory (latest step)."""
     import jax
     import jax.numpy as jnp
 
-    from climsim_tpu.train.checkpoints import OrbaxCheckpointer, load_pytree
+    from climsim_tpu.train.checkpoints import (OrbaxCheckpointer,
+                                               TopKCheckpointer, load_pytree)
 
     if os.path.isdir(ckpt):
-        tree = OrbaxCheckpointer(ckpt, async_save=False).restore(template)
+        if os.path.exists(os.path.join(ckpt, "topk.json")):
+            topk = TopKCheckpointer(ckpt)
+            tree = topk.load_best(template)
+            if tree is None:
+                raise SystemExit(f"{ckpt}/topk.json lists no checkpoints")
+            metric, step, _ = topk.best()
+            print(f"loaded top-K best: step {step} (metric {metric:g})")
+        else:
+            tree = OrbaxCheckpointer(ckpt, async_save=False).restore(template)
     else:
         tree = load_pytree(ckpt, template)
     # from_bytes restores numpy leaves; promote to device arrays so traced
@@ -192,8 +205,9 @@ def main():
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--preset", required=True,
                     help="config preset (unet_v5, unet_v4, mlp_v2rh, ...)")
-    ap.add_argument("--ckpt", help="orbax dir or save_pytree msgpack; "
-                    "omitted = fresh init (wire testing only)")
+    ap.add_argument("--ckpt", help="save_pytree msgpack, top-K checkpoint "
+                    "dir (best entry picked), or orbax dir; omitted = "
+                    "fresh init (wire testing only)")
     ap.add_argument("--cls-ckpt",
                     help="classifier checkpoint -> package the two-stage "
                     "composition (v5 presets only)")

@@ -95,6 +95,37 @@ def test_two_stage_v5_bundle(tmp_path):
     assert os.path.getsize(os.path.join(out, "wrapper_b4.stablehlo")) > 0
 
 
+def test_train_to_bundle_chain(tmp_path):
+    """The REAL artifact chain: run.py training writes a top-K checkpoint
+    dir; the packager loads its BEST entry and ships a bundle that
+    matches the live wrapper on the trained weights."""
+    from climsim_tpu.run import main as run_main
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    run_main(["--preset", "mlp_v2rh", "--quiet", "train.epochs=2",
+              "data.num_synthetic=512", "data.batch_size=128",
+              'model_kw={"hidden":[16,16]}',
+              f"train.checkpoint_dir={ckpt_dir}"])
+    assert os.path.exists(os.path.join(ckpt_dir, "topk.json"))
+
+    out = str(tmp_path / "bundle")
+    meta = build_bundle("mlp_v2rh", ckpt_dir, out, [4], verify=True,
+                        overrides=('model_kw.hidden=[16,16]',))
+    assert meta["untrained"] is False
+    # trained weights, not a fresh init: outputs must differ from the
+    # packager's seed-0 template model
+    from climsim_tpu.online.wrapper import load_aot
+
+    fresh = build_bundle("mlp_v2rh", None, str(tmp_path / "fresh"), [4],
+                         overrides=('model_kw.hidden=[16,16]',))
+    assert fresh["untrained"] is True
+    x = np.random.default_rng(3).normal(size=(4, 557)).astype(np.float32)
+    y_t = np.asarray(load_aot(os.path.join(out, "wrapper_b4.stablehlo"))(x))
+    y_f = np.asarray(load_aot(os.path.join(
+        str(tmp_path / "fresh"), "wrapper_b4.stablehlo"))(x))
+    assert np.abs(y_t - y_f).max() > 0
+
+
 def test_serve_bundle_resolution(tmp_path):
     """serve.py --bundle picks the requested bucket, or falls back to the
     smallest exported one."""
