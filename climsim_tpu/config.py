@@ -41,6 +41,11 @@ class TrainConfig:
     energy_weight: float = 0.0
     optimizer: str = "adam"
     checkpoint_dir: str | None = None
+    # warm restart: load WEIGHTS from a prior run before training (fresh
+    # optimizer state -- the reference's cfg.restart_path semantics,
+    # train_unet_h5loader.py:177-189).  A .msgpack file, or a checkpoint
+    # dir (last.msgpack preferred, else the top-K best entry).
+    restart_path: str | None = None
     top_k: int = 5
     timed_interval: float = 0.0  # >0: periodic wall-clock save (seconds)
     early_stop_patience: int = 0

@@ -51,6 +51,12 @@ def build_trainer(cfg: ExperimentConfig, spec, stats, sample, rng, rules,
     common = dict(rules=rules, steps_per_epoch=steps_per_epoch,
                   cfg=cfg.transform)
     t = cfg.train
+    if cfg.model in ("mlp", "mlp_v2", "ed", "cnn") and t.lr != 1e-3:
+        # these recipes pin the papers' published LR schedules (cyclic
+        # triangular for the MLPs, Adam 1e-4 with /5-every-7-epochs for
+        # ED, the CNN's fixed Adam) -- train.lr does not apply to them
+        print(f"note: {cfg.model!r} uses its published reference LR "
+              f"schedule; train.lr={t.lr:g} is ignored")
     if cfg.model == "mlp":
         return recipes.mlp_trainer(spec, stats, sample, rng,
                                    **cfg.model_kw, **common)
@@ -345,6 +351,29 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
                                           np.asarray(y_tr[:4])), rng,
                        rules, steps, grid)
 
+    if cfg.train.restart_path:
+        # weights-only warm restart, optimizer state fresh (the
+        # reference's restart_path, train_unet_h5loader.py:177-189)
+        import jax.numpy as jnp
+
+        from .train.checkpoints import load_pytree
+
+        p = cfg.train.restart_path
+        if os.path.isdir(p):
+            last = os.path.join(p, "last.msgpack")
+            if os.path.exists(last):
+                loaded = load_pytree(last, tr.state.params)
+            else:
+                loaded = TopKCheckpointer(p).load_best(tr.state.params)
+                if loaded is None:
+                    raise ValueError(f"no checkpoints in {p}")
+        else:
+            loaded = load_pytree(p, tr.state.params)
+        tr.state = tr.state.replace(
+            params=jax.tree.map(jnp.asarray, loaded))
+        if verbose:
+            print(f"warm restart: loaded weights from {p}")
+
     # loader selection: HBM residency is the fast path when the split fits
     # (~60% of one chip's HBM leaves room for activations); fall back to
     # the prefetching host loader otherwise
@@ -424,7 +453,7 @@ def main(argv=None):
         ap.error("need --preset or --config")
     if args.overrides:
         cfg = cfg.override(*args.overrides)
-    run_experiment(cfg, verbose=not args.quiet)
+    return run_experiment(cfg, verbose=not args.quiet)
 
 
 if __name__ == "__main__":

@@ -228,6 +228,31 @@ def test_resume_from_last_checkpoint(tmp_path, data):
     assert loss1 < loss0
 
 
+def test_cli_warm_restart(tmp_path):
+    """train.restart_path through the CLI: weights load from a prior
+    run's checkpoint dir before training (the reference's cfg.restart_path,
+    train_unet_h5loader.py:177-189).  With lr=0 the restarted run's final
+    params must equal the checkpointed weights exactly."""
+    from climsim_tpu.run import main as run_main
+    from climsim_tpu.train.checkpoints import load_pytree
+
+    ckpt_dir = str(tmp_path / "ck")
+    # mlp_v2rh honors train.lr (the NeurIPS mlp/ed/cnn recipes pin their
+    # published schedules instead), so lr=0 freezes the weights exactly
+    common = ["--preset", "mlp_v2rh", "--quiet", "data.num_synthetic=512",
+              "data.batch_size=128", 'model_kw={"hidden":[16]}']
+    run_main(common + ["train.epochs=1", f"train.checkpoint_dir={ckpt_dir}"])
+    assert (tmp_path / "ck" / "last.msgpack").exists()
+
+    out = run_main(common + ["train.epochs=1", "train.lr=0.0",
+                             f"train.restart_path={ckpt_dir}"])
+    want = load_pytree(str(tmp_path / "ck" / "last.msgpack"),
+                       jax.device_get(out["state"].params))
+    for a, b in zip(jax.tree.leaves(out["state"].params),
+                    jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_scale_controls_update_magnitude(data):
     """Plateau lr_scale must actually change the step size under Adam
     (scaling gradients would be a no-op: Adam is gradient-scale
