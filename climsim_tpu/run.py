@@ -446,7 +446,11 @@ def main(argv=None):
         import json
 
         with open(args.config) as f:
-            cfg = ExperimentConfig.from_dict(json.load(f))
+            d = json.load(f)
+        # accept both a bare ExperimentConfig json and the
+        # run_manifest.json written next to every checkpointed run --
+        # `--config ckpts/run_manifest.json` reproduces that run
+        cfg = ExperimentConfig.from_dict(d.get("config", d))
     elif args.preset:
         cfg = PRESETS[args.preset]
     else:

@@ -252,6 +252,12 @@ def test_cli_warm_restart(tmp_path):
                     jax.tree.leaves(want)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # the run_manifest.json written next to the checkpoints reproduces
+    # the run through --config (reproducibility round-trip)
+    out2 = run_main(["--config", str(tmp_path / "ck" / "run_manifest.json"),
+                     "--quiet", "train.epochs=1", "train.checkpoint_dir="])
+    assert np.isfinite(out2["history"].rows[-1]["train_loss"])
+
 
 def test_lr_scale_controls_update_magnitude(data):
     """Plateau lr_scale must actually change the step size under Adam
