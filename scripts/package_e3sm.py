@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -145,11 +146,15 @@ def build_bundle(preset: str, ckpt: str | None, out: str, buckets,
     artifacts = {}
     for b in buckets:
         path = os.path.join(out, f"wrapper_b{b}.stablehlo")
+        t0 = time.perf_counter()
         W.export_aot(wrap, params, batch=b, n_features=in_spec.input_len,
                      path=path)
+        export_s = time.perf_counter() - t0
+        print(f"exported b={b} in {export_s:.1f}s", flush=True)
         artifacts[os.path.basename(path)] = {
             "batch": b, "sha256": _sha256(path),
-            "bytes": os.path.getsize(path)}
+            "bytes": os.path.getsize(path),
+            "export_s": round(export_s, 1)}
 
     meta = {
         "preset": preset,
