@@ -13,6 +13,7 @@ import importlib.util
 import os
 import sys
 import types
+import warnings
 
 # the oracle tree location; CI points this at a pinned-SHA clone of
 # leap-stc/ClimSim (see .github/workflows/test.yaml)
@@ -46,7 +47,12 @@ def _load_under_shim(path: str, modname: str):
     try:
         spec = importlib.util.spec_from_file_location(modname, path)
         module = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(module)
+        # the reference source carries pre-3.12 regex escapes ('\.')
+        # that py3.12 compiles with a SyntaxWarning -- oracle-side
+        # noise, silenced only around the oracle's own compilation
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", SyntaxWarning)
+            spec.loader.exec_module(module)
     finally:
         for name, prev in saved.items():
             if prev is None:

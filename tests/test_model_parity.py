@@ -440,7 +440,7 @@ def test_unet_gradient_parity():
         return jnp.mean((y - jnp.asarray(tgt)) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
-    np.testing.assert_allclose(float(loss), float(loss_ref),
+    np.testing.assert_allclose(float(loss), float(loss_ref.detach()),
                                rtol=1e-9, atol=1e-12)
     _check_port(grads, ported_grads)
     flat_ref, _ = jax.tree_util.tree_flatten_with_path(ported_grads)

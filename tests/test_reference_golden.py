@@ -334,6 +334,12 @@ def test_weighting_and_metrics_parity(scored_v1, grid, norm_datasets):
                 err_msg=f"{m}({v})")
 
 
+# the two ignores are ORACLE-side arithmetic: the reference's own
+# save_as_npy float32 cast overflows on v2's large-magnitude derived
+# features, and its weighting divides by the zero rows of out_scale --
+# both reproduce identically in real xarray; values are asserted below
+@pytest.mark.filterwarnings("ignore:overflow encountered in cast")
+@pytest.mark.filterwarnings("ignore:divide by zero encountered in divide")
 def test_weighting_parity_v2_full_vars(ncdir, grid, norm_datasets, tmp_path):
     """full_vars path: wind-speed energy conversion for ptend_u/v."""
     du = make_ref(grid, norm_datasets, normalize=True)
