@@ -105,6 +105,8 @@ def identity_norms(spec: VarSpec) -> NormStats:
         inp_div=np.ones(spec.input_len),
         out_scale=np.ones(spec.output_len),
         lbd_qn=np.ones(60) if "state_qn" in spec.inputs else None,
+        lbd_qc=np.ones(60) if "state_q0002" in spec.inputs else None,
+        lbd_qi=np.ones(60) if "state_q0003" in spec.inputs else None,
     )
 
 

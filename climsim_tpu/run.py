@@ -47,11 +47,12 @@ def load_data(cfg: ExperimentConfig, grid):
 
 
 def build_trainer(cfg: ExperimentConfig, spec, stats, sample, rng, rules,
-                  steps_per_epoch, grid):
+                  steps_per_epoch, grid, verbose=True):
     common = dict(rules=rules, steps_per_epoch=steps_per_epoch,
                   cfg=cfg.transform)
     t = cfg.train
-    if cfg.model in ("mlp", "mlp_v2", "ed", "cnn") and t.lr != 1e-3:
+    if verbose and cfg.model in ("mlp", "mlp_v2", "ed", "cnn") \
+            and t.lr != 1e-3:
         # these recipes pin the papers' published LR schedules (cyclic
         # triangular for the MLPs, Adam 1e-4 with /5-every-7-epochs for
         # ED, the CNN's fixed Adam) -- train.lr does not apply to them
@@ -127,6 +128,16 @@ def write_manifest(cfg: ExperimentConfig, directory: str) -> None:
 
 
 def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
+    # deep-copy first: this function mutates cfg (batch clamp below), and
+    # callers commonly pass shared PRESETS entries -- without the copy a
+    # clamped batch_size would leak into every later run in the process
+    cfg = cfg.override()
+    if cfg.train.restart_path and (
+            cfg.model == "rpn" or cfg.train.seeds or cfg.train.elastic):
+        raise ValueError(
+            "train.restart_path is only supported on the single-model "
+            "fit() path; the rpn/multi-seed/elastic branches would "
+            "silently train from scratch")
     distributed_init_if_needed()
     grid = load_default_grid()
     spec, x, y, stats = load_data(cfg, grid)
@@ -236,7 +247,8 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
             # inner trainers unsharded: multiseed lays out the STACKED
             # state (seed axis over mesh model, replicated over data)
             lambda sp, st, sa, r: build_trainer(cfg, sp, st, sa, r,
-                                                None, steps, grid),
+                                                None, steps, grid,
+                                                verbose=verbose),
             spec, stats, sample, list(cfg.train.seeds),
             rules=rules, lr_scales=base_scales.tolist())
         loader = BatchLoader(x_tr, y_tr, cfg.data.batch_size, rules,
@@ -319,7 +331,7 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
 
         def trainer_factory(r):
             return build_trainer(cfg, spec, stats, sample, rng, r, steps,
-                                 grid)
+                                 grid, verbose=verbose)
 
         def loader_factory(r):
             tl = BatchLoader(x_tr, y_tr, cfg.data.batch_size, r,
@@ -349,7 +361,7 @@ def run_experiment(cfg: ExperimentConfig, verbose: bool = True):
 
     tr = build_trainer(cfg, spec, stats, (np.asarray(x_tr[:4]),
                                           np.asarray(y_tr[:4])), rng,
-                       rules, steps, grid)
+                       rules, steps, grid, verbose=verbose)
 
     if cfg.train.restart_path:
         # weights-only warm restart, optimizer state fresh (the

@@ -51,6 +51,12 @@ class TopKCheckpointer:
     def _better(self, a, b):
         return a < b if self.mode == "min" else a > b
 
+    def _resolve(self, path: str) -> str:
+        # topk.json may have been written on another machine or the
+        # directory copied/moved (the deployment workflow) -- recorded
+        # paths are only trusted for their basename
+        return os.path.join(self.directory, os.path.basename(path))
+
     def maybe_save(self, metric: float, step: int, tree) -> bool:
         """Insert if within top-K; deletes the evicted worst (reference
         behavior: train_unet_h5loader.py:473-500)."""
@@ -61,11 +67,13 @@ class TopKCheckpointer:
             if not self._better(metric, worst[0]):
                 return False
             self._entries.remove(worst)
-            if os.path.exists(worst[2]):
-                os.remove(worst[2])
-        path = os.path.join(self.directory, f"ckpt_step{step}.msgpack")
-        save_pytree(path, tree)
-        self._entries.append((metric, step, path))
+            wp = self._resolve(worst[2])
+            if os.path.exists(wp):
+                os.remove(wp)
+        name = f"ckpt_step{step}.msgpack"
+        save_pytree(os.path.join(self.directory, name), tree)
+        # record the basename only: the directory must stay relocatable
+        self._entries.append((metric, step, name))
         self._flush()
         return True
 
@@ -86,7 +94,8 @@ class TopKCheckpointer:
 
     def load_best(self, template):
         b = self.best()
-        return None if b is None else load_pytree(b[2], template)
+        return None if b is None else load_pytree(self._resolve(b[2]),
+                                                  template)
 
     def _flush(self):
         with open(os.path.join(self.directory, "topk.json"), "w") as f:

@@ -26,6 +26,7 @@
  */
 #define _POSIX_C_SOURCE 200809L
 #include <arpa/inet.h>
+#include <errno.h>
 #include <netdb.h>
 #include <stdint.h>
 #include <stdio.h>
@@ -102,12 +103,16 @@ int main(int argc, char **argv) {
     }
     const char *host = argv[1];
     char *end_r = NULL, *end_f = NULL;
-    /* strtol, not strtoul: strtoul silently wraps "-1" to ULONG_MAX */
+    /* strtol, not strtoul: strtoul silently wraps "-1" to ULONG_MAX.
+     * errno catches ERANGE saturation, which on ILP32 (32-bit long)
+     * would otherwise slip past the UINT32_MAX comparison below. */
+    errno = 0;
     long rows_l = strtol(argv[4], &end_r, 10);
     long feats_l = strtol(argv[5], &end_f, 10);
-    if (!end_r || *end_r || !end_f || *end_f ||
+    if (errno == ERANGE || !end_r || *end_r || !end_f || *end_f ||
         rows_l <= 0 || feats_l <= 0 ||
-        rows_l > UINT32_MAX || feats_l > UINT32_MAX) {
+        (unsigned long)rows_l > UINT32_MAX ||
+        (unsigned long)feats_l > UINT32_MAX) {
         /* rows==0 is the server's error-sentinel shape; never send it */
         fprintf(stderr, "rows and feats must be positive integers "
                         "(got '%s' x '%s')\n", argv[4], argv[5]);

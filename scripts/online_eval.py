@@ -552,20 +552,22 @@ def main(argv=None):
                             f"_t{args.train_steps}_b{args.batch}{dag}{pol}"
                             f"_k{args.ft_k}_s{args.ft_steps}"
                             f"_lr{args.ft_lr:g}.pkl")
-        if args.scheme == "two_stage":
-            # {dag} is part of the key: the classifier trains on the same
-            # DAgger-augmented pool as the regressor, so runs differing in
-            # --dagger-* must not share a cached classifier
-            cache_cls = os.path.join(
-                args.cache,
-                f"clsparams_{tag}_ch{args.cls_channels or args.channels}"
-                f"_t{args.cls_train_steps}_b{args.batch}"
-                f"_th{args.threshold_class1:g}-{args.threshold_class2:g}"
-                f"{dag}_r5.pkl")
-
     have_stats = cache_stats and os.path.exists(cache_stats)
     have_params = cache_params and os.path.exists(cache_params)
     have_ft = (args.ft_steps == 0) or (cache_ft and os.path.exists(cache_ft))
+    if args.cache and args.scheme == "two_stage":
+        # the classifier trains on the DAgger-augmented pool ONLY when the
+        # regressor phase actually runs (a cache-hit regressor leaves
+        # xs_train empty and the classifier sees the clean collection), so
+        # the key carries the dag tag only in that case -- otherwise two
+        # runs with identical keys would hold different classifiers
+        cls_dag = dag if not have_params else ""
+        cache_cls = os.path.join(
+            args.cache,
+            f"clsparams_{tag}_ch{args.cls_channels or args.channels}"
+            f"_t{args.cls_train_steps}_b{args.batch}"
+            f"_th{args.threshold_class1:g}-{args.threshold_class2:g}"
+            f"{cls_dag}_r5.pkl")
     have_cls = (args.scheme != "two_stage") or (
         cache_cls and os.path.exists(cache_cls))
     need_collection = not (have_stats and have_params and have_ft
@@ -1072,8 +1074,14 @@ def main(argv=None):
                   if args.ft_steps > 0 else "")
         # the scheme is part of the key too: a correction fitted to the
         # plain regressor's residuals must not be reused for the
-        # classifier-gated composition (different rollout params)
-        sch_tag = "" if args.scheme == "regressor" else f"_{args.scheme}"
+        # classifier-gated composition (different rollout params) -- and
+        # for two_stage every classifier knob joins the key, since the
+        # correction is fitted to rollouts of the (reg, cls) composition
+        sch_tag = "" if args.scheme == "regressor" else (
+            f"_{args.scheme}"
+            f"ch{args.cls_channels or args.channels}"
+            f"t{args.cls_train_steps}"
+            f"th{args.threshold_class1:g}-{args.threshold_class2:g}")
         cache_bc = (cache_params.replace(
             ".pkl", f"{ft_tag}{sch_tag}_bc{args.bias_correct}"
                     f"i{args.bias_iters}g{args.bias_gain:g}.npz")

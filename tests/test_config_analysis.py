@@ -199,3 +199,51 @@ def test_every_preset_runs_tiny():
         cfg = cfg0.override(*(common + shrink.get(name, [])))
         out = run_experiment(cfg, verbose=False)
         assert out is not None, name
+
+
+def test_run_experiment_does_not_mutate_caller_config():
+    """Regression: run_experiment clamps data.batch_size in place; the
+    clamp must hit a private copy, not the shared PRESETS entry (a
+    leaked clamp silently changed every later run in the process)."""
+    from climsim_tpu.run import run_experiment
+
+    cfg = PRESETS["ed_v1"].override(
+        "train.epochs=1", "data.num_synthetic=256",
+        "data.batch_size=10000", "data.norms=identity",
+        "train.num_data_shards=1")
+    before = cfg.data.batch_size
+    run_experiment(cfg, verbose=False)
+    assert cfg.data.batch_size == before == 10000
+
+
+def test_restart_path_rejected_on_unsupported_branches():
+    """train.restart_path only works on the single-model fit() path;
+    rpn/multi-seed/elastic must fail loud, not train from scratch."""
+    import pytest
+
+    from climsim_tpu.run import run_experiment
+
+    base = ["train.epochs=1", "data.num_synthetic=256",
+            "data.batch_size=64", "data.norms=identity",
+            "train.num_data_shards=1", "train.restart_path=/nonexistent"]
+    for extra in (["train.seeds=[0,1]"], ["train.elastic=true"]):
+        cfg = PRESETS["ed_v1"].override(*(base + extra))
+        with pytest.raises(ValueError, match="restart_path"):
+            run_experiment(cfg, verbose=False)
+    cfg = PRESETS["rpn_v1"].override(*base)
+    with pytest.raises(ValueError, match="restart_path"):
+        run_experiment(cfg, verbose=False)
+
+
+def test_identity_norms_lambda_symmetry():
+    """identity_norms must supply placeholder exp-transform rates for
+    EVERY cloud layout (v5's qn AND v4/v2's qc/qi), or the fail-loud
+    transform rejects identity stats asymmetrically."""
+    from climsim_tpu.norms import identity_norms
+
+    s5 = identity_norms(get_varspec("v5"))
+    assert s5.lbd_qn is not None and s5.lbd_qc is None
+    for v in ("v4", "v2_rh"):
+        st = identity_norms(get_varspec(v))
+        assert st.lbd_qc is not None and st.lbd_qi is not None, v
+        assert st.lbd_qn is None

@@ -520,3 +520,37 @@ def test_fit_with_chunked_loader(data):
                                    rtol=1e-5)
         np.testing.assert_allclose(rc["val_loss"], rb["val_loss"],
                                    rtol=1e-5)
+
+
+def test_topk_directory_is_relocatable(tmp_path, data):
+    """topk.json records checkpoint basenames: a checkpoint directory
+    copied to another machine/path (the deployment workflow) must still
+    serve load_best, including legacy files that recorded full paths."""
+    import json
+    import shutil
+
+    from climsim_tpu.train.checkpoints import TopKCheckpointer
+
+    x, y, stats = data
+    tr = recipes.ed_trainer(SPEC, stats, (x[:64], y[:64]),
+                            jax.random.PRNGKey(5), steps_per_epoch=1)
+    tpl = jax.device_get(tr.state.params)
+    src = tmp_path / "ck"
+    ckpt = TopKCheckpointer(str(src), k=2)
+    ckpt.maybe_save(0.5, 1, tpl)
+    ckpt.maybe_save(0.3, 2, tpl)
+    dst = tmp_path / "moved" / "ck"
+    shutil.copytree(src, dst)
+    shutil.rmtree(src)
+    moved = TopKCheckpointer(str(dst), k=2)
+    assert moved.best()[1] == 2
+    assert moved.load_best(tpl) is not None
+    # legacy format: entries hold absolute paths from the old machine
+    with open(dst / "topk.json", "w") as f:
+        json.dump([[0.3, 2, "/gone/machine/ck/ckpt_step2.msgpack"]], f)
+    legacy = TopKCheckpointer(str(dst), k=2)
+    assert legacy.load_best(tpl) is not None
+    # eviction under the legacy entry must also resolve locally
+    legacy.k = 1
+    assert legacy.maybe_save(0.1, 3, tpl)
+    assert not (dst / "ckpt_step2.msgpack").exists()

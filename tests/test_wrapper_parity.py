@@ -104,6 +104,9 @@ def _widen_stats(nm, **vecs):
 @pytest.fixture(scope="module")
 def v5_setup():
     NewModel = ts.load_nn_wrapper("v5")
+    if NewModel is None:
+        pytest.skip("v5_nn_wrapper.ipynb NewModel cell not found in the "
+                    "reference tree")
     ref, mine, params, _x, spec = _unet_pair("v5", model_channels=16,
                                              num_blocks=1)
     rng = np.random.default_rng(42)
@@ -168,6 +171,9 @@ def test_v4_wrapper_end_to_end_parity():
     zeroed 5 blocks deep with liquid cloud at 28 levels -- no conversion,
     no repartition."""
     NewModel = ts.load_nn_wrapper("v4")
+    if NewModel is None:
+        pytest.skip("v4_nn_wrapper.ipynb NewModel cell not found in the "
+                    "reference tree")
     ref, mine, params, _x, spec = _unet_pair("v4", model_channels=16,
                                              num_blocks=1)
     rng = np.random.default_rng(43)
@@ -203,6 +209,9 @@ def test_v2_wrapper_end_to_end_parity():
     notebook-exact tcfg/out_zero explicitly (the repo default stays
     clip-only for models trained without the cloud transform)."""
     NewModel = ts.load_nn_wrapper("v2")
+    if NewModel is None:
+        pytest.skip("v2_nn_wrapper.ipynb NewModel cell not found in the "
+                    "reference tree")
     mod = ts.load_mlp_v2rh()
     from climsim_tpu.models import OnlineMLP
 
