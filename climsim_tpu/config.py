@@ -164,8 +164,12 @@ PRESETS: dict[str, ExperimentConfig] = {
                        transform=v5_online_config()),
     "unet_v5_classifier": _preset(
         "unet_classifier", "v5",
+        # output_prune: the production config's classifier forces class 0
+        # (zero condensate tendency) in the top 12 levels
+        # (conf/config_single.yaml:68/71, climsim_unet_classifier.py:396-403)
         model_kw=dict(model_channels=128, channel_mult=(1, 2, 2, 2),
-                      num_blocks=4, attn_resolutions=(8,)),
+                      num_blocks=4, attn_resolutions=(8,),
+                      output_prune=True, strato_lev_out=12),
         train_kw=dict(epochs=20), data_kw=dict(batch_size=1024),
         transform=v5_online_config()),
 }

@@ -431,6 +431,17 @@ class ClimSimUNet(nn.Module):
             # (B, 60, K) per-level class logits; the reference's 3-class
             # scheme (climsim_datapip_classifier_h5.py:121-122): 0 = zero
             # tendency, 1 = cloud fully evaporates, 2 = regular regression
+            if self.output_prune:
+                # force class 0 in the top strato_lev_out levels with a
+                # saturating logit (climsim_unet_classifier.py:396-403:
+                # logit0=1e2, logits1/2=0) -- guarantees the two-stage
+                # gate emits exactly zero condensate tendency in the
+                # stratosphere regardless of what the network computes
+                strat = (jnp.arange(NUM_LEVELS)
+                         < self.strato_lev_out)[None, :, None]
+                forced = jnp.asarray(
+                    [1e2] + [0.0] * (self.num_classes - 1), h.dtype)
+                h = jnp.where(strat, forced, h)
             return h
 
         y_prof = h[:, :, :n_prof_out].transpose(0, 2, 1).reshape(

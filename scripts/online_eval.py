@@ -895,7 +895,13 @@ def main(argv=None):
             steps_per_epoch=max(args.cls_train_steps, 1),
             model_kw=dict(model_channels=args.cls_channels or args.channels,
                           channel_mult=(1, 2, 2), num_blocks=2,
-                          attn_resolutions=(16,)),
+                          attn_resolutions=(16,),
+                          # production config: force class 0 in the top 12
+                          # levels so the gate can never emit class-1
+                          # evaporation tendencies in the stratosphere
+                          # (conf/config_single.yaml:68/71); forced logits
+                          # are forward-only, cached params stay valid
+                          output_prune=True, strato_lev_out=12),
             threshold_class1=args.threshold_class1,
             threshold_class2=args.threshold_class2)
         if have_cls and cache_cls:

@@ -581,3 +581,64 @@ def test_keras_cnn_adjusted_losses_parity(keras_f64):
                                       spec, kind="mse"))
     np.testing.assert_allclose(mine_mae, ref_mae, rtol=1e-12)
     np.testing.assert_allclose(mine_mse, ref_mse, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Classifier U-Net vs Unet_v5/training/climsim_unet_classifier.py
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("output_prune", [False, True])
+def test_unet_classifier_forward_parity(output_prune):
+    """Weight-port forward equality f64 for the two-stage gating network
+    (ClimsimUnet_class, climsim_unet_classifier.py:35-408): same
+    encoder/decoder as the regressor, 3-channel head reshaped to per-level
+    class logits (B, 60, 3), and -- with output_prune (the production
+    config, conf/config_single.yaml:68/71) -- class 0 forced with a
+    saturating logit in the top strato_lev_out levels
+    (climsim_unet_classifier.py:396-403)."""
+    mod = ts.load_climsim_unet_classifier()
+    if mod is None:
+        pytest.skip("reference classifier sources unavailable")
+    spec = get_varspec("v5")
+    n_prof = len(spec.input_profile_vars)
+    n_scal = len(spec.input_scalar_vars)
+    kw = dict(seq_resolution=64, model_channels=16,
+              channel_mult=[1, 2, 2, 2], num_blocks=1,
+              attn_resolutions=[8], dropout=0.0, loc_embedding=True,
+              skip_conv=False, prev_2d=False)
+    torch.manual_seed(13)
+    ref = mod.ClimsimUnet_class(
+        num_vars_profile=n_prof, num_vars_scalar=n_scal,
+        num_vars_profile_out=1, num_vars_scalar_out=0,
+        output_prune=output_prune, strato_lev_out=12,
+        **kw).double().eval()
+    mine = ClimSimUNet(
+        spec=spec, classifier=True, num_classes=3,
+        model_channels=kw["model_channels"],
+        channel_mult=tuple(kw["channel_mult"]),
+        num_blocks=kw["num_blocks"],
+        attn_resolutions=tuple(kw["attn_resolutions"]),
+        seq_resolution=kw["seq_resolution"],
+        loc_embedding=kw["loc_embedding"], skip_conv=kw["skip_conv"],
+        prev_2d=kw["prev_2d"], output_prune=output_prune,
+        strato_lev_out=12, **REF_PARITY_UNET)
+    params = _f64(migrate.port_climsim_unet(
+        _np_state(ref), channel_mult=tuple(kw["channel_mult"]),
+        num_blocks=kw["num_blocks"], seq_resolution=kw["seq_resolution"],
+        skip_conv=kw["skip_conv"]))
+    tmpl = mine.init(jax.random.key(0), jnp.zeros((1, spec.input_len)))[
+        "params"]
+    _check_port(tmpl, params)
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((2, spec.input_len))
+    x[:, -1] = [17.0, 212.0]  # icol in 1..384
+    with torch.no_grad(), _promote_matmul():
+        y_ref = ref(torch.tensor(x)).numpy()
+    y = np.asarray(mine.apply({"params": params}, jnp.asarray(x)))
+    assert y.shape == y_ref.shape == (2, 60, 3)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-7, atol=1e-10)
+    if output_prune:
+        assert (y[:, :12, 0] == 1e2).all() and (y[:, :12, 1:] == 0).all()
+    else:
+        assert not (y[:, :12, 0] == 1e2).all()

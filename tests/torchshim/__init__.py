@@ -177,6 +177,21 @@ def load_climsim_unet(version: str = "v5"):
                          f"_ref_climsim_unet_{version}", (d,), shims)
 
 
+def load_climsim_unet_classifier():
+    """Reference classifier U-Net (climsim_unet_classifier.py:35-408) --
+    the v5 two-stage scheme's gating network -- under the same shims as
+    load_climsim_unet."""
+    d = UNET_V5_DIR
+    shims = {**_make_modulus_shim(), **_make_nvtx_shim()}
+    layers = _load_by_path(os.path.join(d, "layers.py"),
+                           "_ref_layers_v5", (d,), shims)
+    if layers is None:
+        return None
+    shims = {**shims, "layers": layers}
+    return _load_by_path(os.path.join(d, "climsim_unet_classifier.py"),
+                         "_ref_climsim_unet_classifier", (d,), shims)
+
+
 def load_loss_energy():
     """Reference loss_energy (Unet_v5/training/loss_energy.py:7-62)."""
     return _load_by_path(os.path.join(UNET_V5_DIR, "loss_energy.py"),
