@@ -37,6 +37,13 @@ enable_compile_cache()
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 10_091_520 / (600.0 / 6.0) / 16.0
 
 
+def _note(msg):
+    # stage markers on stderr (stdout carries exactly ONE JSON line): if
+    # the remote-attached chip link wedges mid-run, the driver log shows
+    # which stage stalled instead of 40 silent minutes
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     from climsim_tpu.data.pipeline import DeviceResidentLoader
     from climsim_tpu.data.synthetic import synthetic_split
@@ -56,6 +63,7 @@ def main():
     n_chips = max(len(jax.devices()), 1)
     x, y = synthetic_split(spec, n=batch * 6, grid=grid, seed=0)
 
+    _note(f"devices: {jax.devices()}")
     rng = jax.random.PRNGKey(0)
     tr = recipes.mlp_trainer(spec, stats, (x, y), rng,
                              hidden=(768, 640, 512, 640, 640),
@@ -70,6 +78,7 @@ def main():
     # the timed region (the attached-TPU link is slow in this dev env)
     float(jax.device_get(loader.x[0, 0]))
     float(jax.device_get(loader.y[-1, 0]))
+    _note("HBM upload done")
 
     # fused-epoch path: permutation + gather + train step for a whole
     # epoch run inside ONE lax.scan dispatch (bit-identical to the
@@ -84,6 +93,7 @@ def main():
     epochs = 40
     state, m = run(tr.state, epochs)
     float(m["loss"][-1])
+    _note("warmup/compile done")
 
     # steady-state epochs: the full production path, zero host->device
     # traffic.  Best of 6 repetitions -- the remote-attached link adds
@@ -91,11 +101,12 @@ def main():
     # conflates with device rate
     steps_per_epoch = loader.steps_per_epoch
     best = float("inf")
-    for _ in range(6):
+    for rep in range(6):
         t0 = time.perf_counter()
         state, m = run(state, epochs)
         float(m["loss"][-1])
         best = min(best, time.perf_counter() - t0)
+        _note(f"rep {rep}: {time.perf_counter() - t0:.2f}s")
     rate = epochs * steps_per_epoch * batch / best
     projected = rate / n_chips
 
